@@ -1,0 +1,143 @@
+"""Text primitives, in two matched flavors:
+
+1. **Spark Column expressions** (JVM-side, whole-stage-codegen'd) — the hot
+   path at scale: n-gram generation, tokenization, heuristic quality columns.
+2. **Plain-Python equivalents** — used by the pure-Python oracle AND inside
+   pandas UDFs, guaranteeing that anything the pipeline computes in Python
+   matches the oracle bit-for-bit (same module, same code).
+
+Semantics notes (pinned so Spark SQL, DuckDB oracle SQL, and Python agree):
+- Whitespace class is the Java-default ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``
+  (ASCII). The Python helpers use the same explicit class, NOT Python's
+  Unicode-aware ``\\s``.
+- ``strip`` follows the reference's pandas ``.str.strip()`` (Python
+  ``str.strip()``: Unicode whitespace). Spark's ``trim`` only strips
+  ``' '``, so normalization uses ``regexp_replace`` on the Java class above
+  (fixtures only contain ASCII whitespace; documented limitation).
+- Char n-grams replicate the reference padding ``'_'*(n-1) + text + '_'``
+  (/root/reference/src/models/statistical_models.py:23,38).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+JAVA_WS = "[ \\t\\n\\x0B\\f\\r]"
+_PY_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+SYMBOL_CLASS = "[#!$%&*+=@^~|<>]"
+_PY_SYMBOL_RE = re.compile(SYMBOL_CLASS)
+
+
+# ---------------------------------------------------------------------------
+# Spark Column expressions (JVM side)
+# ---------------------------------------------------------------------------
+def norm_text(col: Column) -> Column:
+    """Strip leading/trailing whitespace — reference src/utils.py:89-90."""
+    return F.regexp_replace(F.regexp_replace(col, f"^{JAVA_WS}+", ""), f"{JAVA_WS}+$", "")
+
+
+def char_ngrams(col: Column, n: int, reference_pad: bool = True) -> Column:
+    """Array of character n-grams with the reference's sentinel padding.
+
+    Pure SQL expression (sequence + transform + substring) so Catalyst keeps
+    it inside codegen — no Python worker involved. For n=1 this degrades to
+    per-char split of ``text + '_'``.
+    """
+    if reference_pad:
+        padded = F.concat(F.lit("_" * (n - 1)), col, F.lit("_"))
+    else:
+        padded = col
+    # padded length >= n always when reference_pad (len + n), so the
+    # sequence is non-empty and ascending.
+    return F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+        lambda i: F.substring(padded, i, F.lit(n)),
+    )
+
+
+def char_ngrams_sql(text_sql: str, n: int, reference_pad: bool = True) -> str:
+    """Same as :func:`char_ngrams` but as a SQL snippet (composable in
+    spark.sql and mirrored 1:1 in DuckDB oracle SQL)."""
+    p = f"concat('{'_' * (n - 1)}', {text_sql}, '_')" if reference_pad else text_sql
+    return f"transform(sequence(1, length({p}) - {n - 1}), i -> substring({p}, i, {n}))"
+
+
+def words(col: Column) -> Column:
+    """Array of whitespace-delimited tokens; empty array for empty text."""
+    return F.when(F.length(col) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(col, f"{JAVA_WS}+")
+    )
+
+
+def with_quality_columns(df: DataFrame, text_col: str = "norm_text") -> DataFrame:
+    """Gopher/C4-style heuristic quality features as native Spark SQL columns
+    (no UDF): doc length, word stats, symbol ratio, repetition ratio.
+
+    Assumes ``text_col`` is already normalized (no leading/trailing ws).
+    """
+    c = F.col(text_col)
+    w = words(c)
+    n_words = F.size(w)
+    return (
+        df.withColumn("n_chars", F.length(c))
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                n_words > 0,
+                F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+                / n_words,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.when(
+                n_words > 0,
+                (F.length(c) - F.length(F.regexp_replace(c, SYMBOL_CLASS, ""))).cast(
+                    "double"
+                )
+                / n_words,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "distinct_word_ratio",
+            F.when(n_words > 0, F.size(F.array_distinct(w)).cast("double") / n_words)
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python equivalents (oracle + inside pandas UDFs)
+# ---------------------------------------------------------------------------
+def py_norm(s: str) -> str:
+    return s.strip()
+
+
+def py_words(s: str) -> list[str]:
+    if not s:
+        return []
+    return [t for t in _PY_WS_RE.split(s) if t]
+
+
+def py_quality_features(norm: str) -> dict[str, float]:
+    ws = py_words(norm)
+    n_words = len(ws)
+    n_chars = len(norm)
+    mean_wl = (sum(len(t) for t in ws) / n_words) if n_words else 0.0
+    sym = len(_PY_SYMBOL_RE.findall(norm))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": (sym / n_words) if n_words else 0.0,
+        "distinct_word_ratio": (len(set(ws)) / n_words) if n_words else 0.0,
+    }
+
+
+def py_char_ngrams(text: str, n: int, reference_pad: bool = True) -> list[str]:
+    t = ("_" * (n - 1) + text + "_") if reference_pad else text
+    return [t[i : i + n] for i in range(len(t) - n + 1)]

@@ -1,0 +1,93 @@
+"""Char-bigram add-k perplexity scorer (KenLM-style stage, net-new).
+
+North_star: "Kneser-Ney/KenLM-style n-gram perplexity scorer". We use a
+char-bigram LM with add-k smoothing: fully deterministic, trainable with a
+single distributed groupBy (exact integer counts), and vectorizable with
+numpy lookup tables inside the Arrow UDF — no per-char Python on the hot
+path.
+
+Semantics (pinned; the oracle and the Spark UDF call the same functions):
+- Trained over lowercased *normalized* text of the train split, padded
+  ``'_' + text + '_'`` (same sentinel convention as the reference models,
+  /root/reference/src/models/statistical_models.py:116).
+- P(next|cur) = (cnt(cur,next) + k) / (cnt(cur,·) + k·V), V = |charset|+1
+  (the +1 is a dedicated OOV id; unseen chars map to it).
+- ppl(doc) = exp(-mean log P over the doc's transitions); empty docs → +inf.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+K_SMOOTH = 0.5
+
+
+def bigram_counts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(text) batch → (cur, nxt, cnt) partial aggregate for mapInPandas."""
+    acc: dict[tuple[str, str], int] = {}
+    for text in pdf["text"]:
+        t = "_" + text.lower() + "_"
+        for i in range(len(t) - 1):
+            key = (t[i], t[i + 1])
+            acc[key] = acc.get(key, 0) + 1
+    if not acc:
+        return pd.DataFrame({"cur": pd.Series(dtype="object"),
+                             "nxt": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
+    cur, nxt = zip(*acc.keys())
+    return pd.DataFrame({"cur": cur, "nxt": nxt, "cnt": list(acc.values())})
+
+
+@dataclass
+class BigramLM:
+    """Dense (V+1)×(V+1) log-prob matrix + codepoint→id LUT for vectorized
+    scoring. Row/col V is the OOV id."""
+
+    char_ids: dict[str, int]
+    logprob: np.ndarray  # (V+1, V+1) float64
+    lut: np.ndarray      # (max_cp+2,) int32 codepoint → id (OOV default)
+    k: float = K_SMOOTH
+
+    @classmethod
+    def from_counts(cls, counts: pd.DataFrame, k: float = K_SMOOTH) -> "BigramLM":
+        chars = sorted(set(counts["cur"]) | set(counts["nxt"]))
+        char_ids = {c: i for i, c in enumerate(chars)}
+        v = len(chars) + 1  # + OOV
+        mat = np.zeros((v, v), dtype=np.float64)
+        ci = counts["cur"].map(char_ids).to_numpy()
+        ni = counts["nxt"].map(char_ids).to_numpy()
+        mat[ci, ni] = counts["cnt"].to_numpy()
+        totals = mat.sum(axis=1, keepdims=True)
+        logprob = np.log(mat + k) - np.log(totals + k * v)
+        max_cp = max((ord(c) for c in chars), default=0)
+        lut = np.full(max_cp + 2, v - 1, dtype=np.int32)
+        for c, i in char_ids.items():
+            lut[ord(c)] = i
+        return cls(char_ids=char_ids, logprob=logprob, lut=lut, k=k)
+
+    def _ids(self, text: str) -> np.ndarray:
+        t = "_" + text.lower() + "_"
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        cps[cps >= len(self.lut)] = len(self.lut) - 1  # clamp to OOV slot
+        return self.lut[cps]
+
+    def perplexity(self, text: str) -> float:
+        if not text:
+            return float("inf")
+        ids = self._ids(text)
+        lp = self.logprob[ids[:-1], ids[1:]]
+        return float(np.exp(-lp.mean()))
+
+    def perplexity_batch(self, texts) -> np.ndarray:
+        return np.array([self.perplexity(t if isinstance(t, str) else "") for t in texts])
+
+    def to_table(self) -> pd.DataFrame:
+        chars = sorted(self.char_ids, key=self.char_ids.get)
+        rows, cols = np.nonzero(np.isfinite(self.logprob))
+        return pd.DataFrame(
+            {"cur_id": rows, "nxt_id": cols, "logprob": self.logprob[rows, cols],
+             "v": len(chars) + 1}
+        ), pd.DataFrame({"char": chars, "id": range(len(chars))})

@@ -1,0 +1,73 @@
+"""Pure-pandas/single-process oracle for the full quality pipeline.
+
+Computes the exact same per-document outputs as
+``pipeline/quality.run_quality_pipeline`` — (keep, lang_pred, lang_conf,
+perplexity, scrubbed_text) — using the SAME shared modules
+(functions.text / functions.scrub / models.hashed_ngram /
+models.perplexity / pipeline.rules), but trained with plain pandas
+group-bys instead of Spark shuffles. Because both sides share the scoring
+code and both train from exact integer counts, parity is bit-identical, not
+just F1≥0.99.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..functions.scrub import scrub_text
+from ..functions.text import py_norm, py_quality_features
+from ..models.hashed_ngram import DIM, HashedNgramNB, doc_bucket_counts
+from ..models.perplexity import BigramLM
+from ..pipeline.rules import py_keep
+
+
+def train_oracle_models(train_pdf: pd.DataFrame, dim: int = DIM):
+    """train_pdf: columns (text, lang). Returns (HashedNgramNB, BigramLM)."""
+    acc: dict[tuple[str, int], int] = {}
+    doc_counts: dict[str, int] = {}
+    cache: dict[str, int] = {}
+    bg: dict[tuple[str, str], int] = {}
+    for text, lang in zip(train_pdf["text"], train_pdf["lang"]):
+        norm = py_norm(text or "")
+        doc_counts[lang] = doc_counts.get(lang, 0) + 1
+        for b, c in doc_bucket_counts(norm, dim, cache).items():
+            acc[(lang, b)] = acc.get((lang, b), 0) + c
+        t = "_" + norm.lower() + "_"
+        for i in range(len(t) - 1):
+            key = (t[i], t[i + 1])
+            bg[key] = bg.get(key, 0) + 1
+
+    langs, buckets = zip(*acc.keys()) if acc else ((), ())
+    bucket_counts = pd.DataFrame(
+        {"lang": langs, "bucket": buckets, "cnt": list(acc.values())}
+    )
+    nb = HashedNgramNB.from_counts(bucket_counts, doc_counts, dim=dim)
+
+    cur, nxt = zip(*bg.keys()) if bg else ((), ())
+    lm = BigramLM.from_counts(
+        pd.DataFrame({"cur": cur, "nxt": nxt, "cnt": list(bg.values())})
+    )
+    return nb, lm
+
+
+def run_oracle_pipeline(pages_pdf: pd.DataFrame, nb: HashedNgramNB, lm: BigramLM) -> pd.DataFrame:
+    """pages → oracle output frame keyed by url."""
+    rows = []
+    for _, r in pages_pdf.iterrows():
+        norm = py_norm(r["text"] or "")
+        labels, confs = nb.predict_labels([norm])
+        ppl = lm.perplexity(norm)
+        feats = py_quality_features(norm)
+        rows.append(
+            {
+                "url": r["url"],
+                "norm_text": norm,
+                "lang_pred": labels[0],
+                "lang_conf": float(confs[0]),
+                "perplexity": float(ppl),
+                "scrubbed_text": scrub_text(norm),
+                "keep": py_keep(feats, float(confs[0]), float(ppl)),
+                **feats,
+            }
+        )
+    return pd.DataFrame(rows)

@@ -1,0 +1,131 @@
+"""The flagship quality-filter pipeline (north_rule):
+
+    pages(url, warc_ts, html, text, lang)
+      → normalize → langid (hashed-ngram NB, broadcast, Arrow UDF)
+      → perplexity (bigram LM, broadcast, Arrow UDF)
+      → Gopher/C4 heuristics (native Spark SQL columns)
+      → PII/toxicity scrub (compiled regex, Arrow UDF)
+      → keep/drop
+
+Execution shape at scale: training is two groupBy shuffles over the train
+split (exact integer counts); serving is a SINGLE narrow map stage — one
+pandas UDF computes (norm_text, lang_pred, lang_conf, perplexity,
+scrubbed_text) per Arrow batch (one Python round trip per batch), then the
+heuristic columns and the keep predicate stay JVM-side. No shuffle touches
+the 100 TB side after the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scrub import scrub_series
+from ..functions.text import with_quality_columns
+from ..models.hashed_ngram import DIM, HashedNgramNB, featurize_counts_pdf
+from ..models.perplexity import BigramLM, bigram_counts_pdf
+from .rules import keep_expr
+
+OUTPUT_STRUCT = T.StructType(
+    [
+        T.StructField("norm_text", T.StringType()),
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
+        T.StructField("scrubbed_text", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class QualityModels:
+    langid: HashedNgramNB
+    lm: BigramLM
+
+
+def train_quality_models(train_df: DataFrame, dim: int = DIM) -> QualityModels:
+    """Train both models with two distributed aggregations.
+
+    ``train_df`` must have (text, lang); text is normalized inside the
+    featurizers (they lowercase; padding conventions are theirs).
+    Counts are exact integers ⇒ the resulting float model is identical
+    regardless of partitioning (SURVEY.md §7.3 float-determinism rule).
+    """
+    src = train_df.select("text", "lang")
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Python-semantics strip (same as the oracle / serving UDF); Spark's
+        # trim() only strips ' ' so normalization stays Python-side.
+        return pdf.assign(text=pdf["text"].fillna("").str.strip())
+
+    bucket_counts = (
+        src.mapInPandas(
+            lambda it: (featurize_counts_pdf(_norm(pdf), dim) for pdf in it),
+            schema="lang string, bucket long, cnt long",
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .toPandas()
+    )
+    doc_counts = {
+        r["lang"]: r["n"] for r in src.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    langid = HashedNgramNB.from_counts(bucket_counts, doc_counts, dim=dim)
+
+    bg_counts = (
+        src.select("text")
+        .mapInPandas(lambda it: (bigram_counts_pdf(_norm(pdf)) for pdf in it),
+                     schema="cur string, nxt string, cnt long")
+        .groupBy("cur", "nxt")
+        .agg(F.sum("cnt").alias("cnt"))
+        .toPandas()
+    )
+    lm = BigramLM.from_counts(bg_counts)
+    return QualityModels(langid=langid, lm=lm)
+
+
+def make_score_udf(spark: SparkSession, models: QualityModels):
+    """One Arrow UDF computing every Python-side column in a single pass.
+
+    The broadcast is deserialized once per Python worker process (module
+    cache + spark.python.worker.reuse), never per batch.
+    """
+    bc = spark.sparkContext.broadcast(models)
+    state: dict = {}
+
+    @F.pandas_udf(OUTPUT_STRUCT)
+    def score(texts: pd.Series) -> pd.DataFrame:
+        if "m" not in state:
+            state["m"] = bc.value
+        m: QualityModels = state["m"]
+        norm = texts.fillna("").str.strip()
+        labels, confs = m.langid.predict_labels(norm.tolist())
+        ppl = m.lm.perplexity_batch(norm.tolist())
+        scrubbed = scrub_series(norm)
+        return pd.DataFrame(
+            {
+                "norm_text": norm,
+                "lang_pred": labels,
+                "lang_conf": confs,
+                "perplexity": ppl,
+                "scrubbed_text": scrubbed,
+            }
+        )
+
+    return score
+
+
+def run_quality_pipeline(
+    spark: SparkSession, pages: DataFrame, models: QualityModels
+) -> DataFrame:
+    """pages → scored/filtered output. Narrow (no shuffle) after the scan."""
+    score = make_score_udf(spark, models)
+    out = pages.withColumn("_s", score(F.col("text"))).select(
+        *[c for c in pages.columns if c not in ("html",)], "_s.*"
+    )
+    out = with_quality_columns(out, "norm_text")
+    return out.withColumn("keep", keep_expr())

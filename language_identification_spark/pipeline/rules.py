@@ -1,0 +1,50 @@
+"""Keep/drop decision — ONE set of constants shared by the Spark pipeline
+and the pure-Python oracle, so both sides evaluate the identical predicate
+over identical inputs (features are integer-ratio floats; lang_conf and
+perplexity come from shared scoring code ⇒ bit-identical).
+
+Gopher/C4-style bounds (net-new per north_star; no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MIN_CHARS = 50
+MAX_CHARS = 20000
+MIN_WORDS = 5
+MIN_MEAN_WORD_LEN = 1.0
+MAX_MEAN_WORD_LEN = 15.0
+MAX_SYMBOL_RATIO = 0.3
+MIN_DISTINCT_WORD_RATIO = 0.2
+MIN_LANG_CONF = 0.5
+MAX_PERPLEXITY = 60.0
+
+
+def keep_expr() -> Column:
+    """Native Spark SQL keep predicate over the pipeline's columns."""
+    return (
+        (F.col("n_chars") >= MIN_CHARS)
+        & (F.col("n_chars") <= MAX_CHARS)
+        & (F.col("n_words") >= MIN_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("distinct_word_ratio") >= MIN_DISTINCT_WORD_RATIO)
+        & (F.col("lang_conf") >= MIN_LANG_CONF)
+        & (F.col("perplexity") <= MAX_PERPLEXITY)
+    )
+
+
+def py_keep(feats: dict, lang_conf: float, perplexity: float) -> bool:
+    """Oracle-side twin of :func:`keep_expr`."""
+    return (
+        MIN_CHARS <= feats["n_chars"] <= MAX_CHARS
+        and feats["n_words"] >= MIN_WORDS
+        and MIN_MEAN_WORD_LEN <= feats["mean_word_len"] <= MAX_MEAN_WORD_LEN
+        and feats["symbol_ratio"] <= MAX_SYMBOL_RATIO
+        and feats["distinct_word_ratio"] >= MIN_DISTINCT_WORD_RATIO
+        and lang_conf >= MIN_LANG_CONF
+        and perplexity <= MAX_PERPLEXITY
+    )

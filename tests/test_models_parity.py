@@ -1,0 +1,151 @@
+"""Model-table parity: Spark groupBy-agg trainers vs the pure-Python oracle
+(SURVEY.md §5.2 item 2). Probabilities must agree within 1e-12; profiles and
+predictions must agree exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.models import score as sc
+from language_identification_spark.models import train as tr
+from language_identification_spark.oracle import reference as ref
+
+
+@pytest.fixture(scope="module")
+def corpus(pages_pdf):
+    pdf = pages_pdf[["text", "lang", "split"]].copy()
+    pdf["text"] = pdf["text"].str.strip()
+    pdf = pdf[pdf["text"].str.len() > 0].reset_index(drop=True)
+    pdf["doc_idx"] = range(len(pdf))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus):
+    return spark.createDataFrame(corpus)
+
+
+@pytest.fixture(scope="module")
+def train_pdf(corpus):
+    return corpus[corpus["split"] == "train"].reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def test_pdf(corpus):
+    return corpus[corpus["split"] == "test"].reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def train_df(corpus_df):
+    return corpus_df.filter(F.col("split") == "train")
+
+
+def _assert_prob_dicts_close(spark_dict, oracle_dict, tol=1e-12):
+    assert set(spark_dict) == set(oracle_dict)
+    for lang in oracle_dict:
+        assert set(spark_dict[lang]) == set(oracle_dict[lang]), lang
+        for k, v in oracle_dict[lang].items():
+            assert abs(spark_dict[lang][k] - v) <= tol * max(1.0, abs(v)), (lang, k)
+
+
+def test_ngram_lm_parity(train_df, train_pdf):
+    for n in (1, 2):
+        m = ref.NgramLM(n=n)
+        m.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+        spark_tbl = tr.train_ngram_lm(train_df, n=n)
+        d = tr.model_table_to_dict(spark_tbl, "ngram")
+        _assert_prob_dicts_close(d, m.language_models)
+
+
+def test_char_freq_parity(train_df, train_pdf):
+    m = ref.CharFrequency()
+    m.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+    d = tr.model_table_to_dict(tr.train_char_freq(train_df), "char_freq")
+    _assert_prob_dicts_close(d, m.language_profiles)
+
+
+def test_markov_parity(train_df, train_pdf):
+    m = ref.MarkovChain()
+    m.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+    d = tr.model_table_to_dict(tr.train_markov(train_df), "markov")
+    assert set(d) == set(m.language_models)
+    for lang in d:
+        assert set(d[lang]) == set(m.language_models[lang])
+        for cur in d[lang]:
+            for nxt, v in m.language_models[lang][cur].items():
+                assert abs(d[lang][cur][nxt] - v) <= 1e-12
+
+
+def test_cavnar_trenkle_parity(train_df, train_pdf):
+    m = ref.CavnarTrenkle()
+    m.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+    d = tr.model_table_to_dict(tr.train_cavnar_trenkle(train_df), "cavnar_trenkle")
+    assert d == m.language_profiles
+
+
+def test_dunning_parity(train_df, train_pdf):
+    m = ref.Dunning()
+    m.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+    d = tr.model_table_to_dict(tr.train_dunning(train_df), "dunning")
+    _assert_prob_dicts_close(d, m.language_models)
+
+
+def test_prediction_parity_udf(spark, corpus_df, train_pdf, test_pdf):
+    """Spark UDF predictions == oracle predictions, per model family."""
+    texts, labels = train_pdf["text"].tolist(), train_pdf["lang"].tolist()
+    test_df = corpus_df.filter(F.col("split") == "test")
+
+    ng = ref.NgramLM(n=1)
+    ng.train(texts, labels)
+    udf = sc.make_ngram_predict_udf(spark, ng.language_models, 1, ng.smoothing)
+    got = {
+        r["doc_idx"]: r["p"]
+        for r in test_df.select("doc_idx", udf(F.col("text")).alias("p")).collect()
+    }
+    want = dict(zip(test_pdf["doc_idx"], ng.predict(test_pdf["text"].tolist())))
+    assert got == want
+
+    cf = ref.CharFrequency()
+    cf.train(texts, labels)
+    udf = sc.make_char_freq_predict_udf(spark, cf.language_profiles, cf.smoothing)
+    got = {
+        r["doc_idx"]: r["p"]
+        for r in test_df.select("doc_idx", udf(F.col("text")).alias("p")).collect()
+    }
+    want = dict(zip(test_pdf["doc_idx"], cf.predict(test_pdf["text"].tolist())))
+    assert got == want
+
+    mk = ref.MarkovChain()
+    mk.train(texts, labels)
+    udf = sc.make_markov_predict_udf(spark, mk.language_models, mk.smoothing)
+    got = {
+        r["doc_idx"]: r["p"]
+        for r in test_df.select("doc_idx", udf(F.col("text")).alias("p")).collect()
+    }
+    want = dict(zip(test_pdf["doc_idx"], mk.predict(test_pdf["text"].tolist())))
+    assert got == want
+
+
+def test_relational_ngram_scorer_matches_oracle(spark, corpus_df, train_pdf, test_pdf):
+    ng = ref.NgramLM(n=1)
+    ng.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+    model_df = tr.train_ngram_lm(corpus_df.filter(F.col("split") == "train"), n=1)
+    out = sc.score_ngram_relational(
+        corpus_df.filter(F.col("split") == "test"), model_df, n=1,
+        smoothing=ng.smoothing, id_col="doc_idx",
+    )
+    got = {r["doc_idx"]: r["lang_pred"] for r in out.collect()}
+    want = dict(zip(test_pdf["doc_idx"], ng.predict(test_pdf["text"].tolist())))
+    # float-sum ordering can differ JVM-side; allow ≤0.5% disagreement
+    diff = sum(1 for k in want if got.get(k) != want[k])
+    assert diff <= max(1, len(want) // 200), f"{diff}/{len(want)} mismatches"
+
+
+def test_oracle_separates_languages(train_pdf, test_pdf):
+    """Sanity: synthetic languages are separable by the reference models."""
+    m = ref.CharFrequency()
+    m.train(train_pdf["text"].tolist(), train_pdf["lang"].tolist())
+    preds = m.predict(test_pdf["text"].tolist())
+    acc = (test_pdf["lang"].to_numpy() == preds).mean()
+    assert acc > 0.9, acc
