@@ -1,0 +1,106 @@
+"""Full-pipeline parity: Spark vs pure-Python oracle (north_rule gate).
+
+- keep/drop F1 ≥ 0.99 (expected: exact equality)
+- lang_pred equality per url
+- scrubbed_text BYTE-identical per url
+- lang_conf / perplexity bit-identical (shared scoring code)
+- deterministic across partitioning
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from language_identification_spark.oracle.pipeline import (
+    run_oracle_pipeline,
+    train_oracle_models,
+)
+from language_identification_spark.pipeline.quality import (
+    run_quality_pipeline,
+    train_quality_models,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(pages_pdf):
+    train = pages_pdf[pages_pdf["split"] == "train"][["text", "lang"]]
+    nb, lm = train_oracle_models(train)
+    return run_oracle_pipeline(pages_pdf, nb, lm).set_index("url")
+
+
+@pytest.fixture(scope="module")
+def spark_models(spark, pages_df):
+    return train_quality_models(pages_df.filter("split = 'train'"))
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, pages_df, spark_models):
+    out = run_quality_pipeline(spark, pages_df, spark_models)
+    return {r["url"]: r for r in out.collect()}
+
+
+def test_keep_f1(oracle_out, spark_out):
+    tp = fp = fn = agree = 0
+    for url, o in oracle_out.iterrows():
+        s = spark_out[url]
+        agree += int(s["keep"] == o["keep"])
+        if s["keep"] and o["keep"]:
+            tp += 1
+        elif s["keep"] and not o["keep"]:
+            fp += 1
+        elif not s["keep"] and o["keep"]:
+            fn += 1
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (f1, fp, fn)
+    assert agree == len(oracle_out)  # expect exact
+
+
+def test_langpred_and_scrub_byte_identical(oracle_out, spark_out):
+    for url, o in oracle_out.iterrows():
+        s = spark_out[url]
+        assert s["lang_pred"] == o["lang_pred"], url
+        assert s["scrubbed_text"].encode() == o["scrubbed_text"].encode(), url
+        assert s["norm_text"] == o["norm_text"], url
+
+
+def test_scores_bit_identical(oracle_out, spark_out):
+    import math
+
+    for url, o in oracle_out.iterrows():
+        s = spark_out[url]
+        assert s["lang_conf"] == o["lang_conf"], url
+        if math.isinf(o["perplexity"]):
+            assert math.isinf(s["perplexity"])
+        else:
+            assert s["perplexity"] == o["perplexity"], url
+
+
+def test_scrubber_actually_scrubbed(spark_out, pages_pdf):
+    raw = dict(zip(pages_pdf["url"], pages_pdf["text"]))
+    hit = 0
+    for url, s in spark_out.items():
+        if "@" in raw[url] and "<EMAIL>" in s["scrubbed_text"]:
+            hit += 1
+    assert hit > 0
+
+
+def test_deterministic_across_partitioning(spark, pages_df, spark_models):
+    a = run_quality_pipeline(spark, pages_df.repartition(1), spark_models)
+    b = run_quality_pipeline(spark, pages_df.repartition(7), spark_models)
+    ra = sorted(
+        a.select("url", "keep", "lang_pred", "lang_conf", "perplexity").collect()
+    )
+    rb = sorted(
+        b.select("url", "keep", "lang_pred", "lang_conf", "perplexity").collect()
+    )
+    assert ra == rb
+
+
+def test_output_schema(spark, pages_df, spark_models):
+    out = run_quality_pipeline(spark, pages_df, spark_models)
+    cols = set(out.columns)
+    assert {
+        "url", "warc_ts", "lang", "keep", "lang_pred", "lang_conf",
+        "perplexity", "scrubbed_text", "n_chars", "n_words",
+    } <= cols
+    assert "html" not in cols  # pruned: never carry the heavy binary column
