@@ -1,0 +1,85 @@
+"""Text-analysis columns for training-data pipelines (net-new, task brief):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All native Spark SQL (whole-stage codegen; zero Python). Each has an exact
+DuckDB twin in ``__spark_entry__.oracle_sql`` — the cross-engine semantics
+below were probed empirically:
+- ``split(text,'')``  == DuckDB ``string_split(text,'')`` (per-char, no
+  trailing empty)
+- ``ascii(c)``        == codepoint in both engines
+- ``regexp_count``    == ``length(regexp_extract_all(...))``
+- integer arithmetic identical ⇒ the rolling-hash fingerprint matches
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs | digit runs | single non-alnum non-space.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+FINGERPRINT_MOD = 1_000_000_007
+
+# Unicode script ranges, written as literal char ranges so the same class
+# string works in both Java regex (Spark) and RE2 (DuckDB, via \x{...}).
+CJK_SPARK, CJK_DUCK = "[一-鿿]", "[\\x{4e00}-\\x{9fff}]"
+CYR_SPARK, CYR_DUCK = "[Ѐ-ӿ]", "[\\x{0400}-\\x{04ff}]"
+GREEK_SPARK, GREEK_DUCK = "[Ͱ-Ͽ]", "[\\x{0370}-\\x{03ff}]"
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(
+        F.size(F.split(col, "[ \\t\\n]+"))
+    )
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count (letter runs / digit runs / single symbols)."""
+    return F.regexp_count(col, F.lit(BPE_REGEX))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic rolling-hash fingerprint: fold (acc*31 + codepoint)
+    mod 1e9+7 over the characters. Same value in DuckDB via list_reduce."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    return {
+        "n_cjk": F.regexp_count(col, F.lit(CJK_SPARK)),
+        "n_cyrillic": F.regexp_count(col, F.lit(CYR_SPARK)),
+        "n_greek": F.regexp_count(col, F.lit(GREEK_SPARK)),
+        "n_latin": F.regexp_count(col, F.lit("[A-Za-z]")),
+    }
+
+
+def lang_guess_script(col: Column) -> Column:
+    """Cheap script-based language bucket — the SQL-only langid heuristic
+    (the statistical models are the real classifiers; this is the
+    pre-filter you'd run before them at 100 TB)."""
+    sc = script_counts(col)
+    n = F.greatest(F.length(col), F.lit(1))
+    return (
+        F.when(sc["n_cjk"] * 100 / n > 10, F.lit("cjk"))
+        .when(sc["n_cyrillic"] * 100 / n > 30, F.lit("cyrillic"))
+        .when(sc["n_greek"] * 100 / n > 30, F.lit("greek"))
+        .when(sc["n_latin"] * 100 / n > 30, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic quality score: alpha-char ratio, word-shape, and
+    punctuation balance, as one codegen'd expression."""
+    n = F.greatest(F.length(col), F.lit(1)).cast("double")
+    alpha_ratio = F.regexp_count(col, F.lit("[A-Za-zÀ-ÿА-яΑ-ω一-鿿]")) / n
+    space_ratio = F.regexp_count(col, F.lit("[ ]")) / n
+    symbol_ratio = F.regexp_count(col, F.lit("[#!$%&*+=@^~|<>]")) / n
+    score = alpha_ratio * 0.6 + F.least(space_ratio * 4, F.lit(1.0)) * 0.3 + (1 - F.least(symbol_ratio * 10, F.lit(1.0))) * 0.1
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)

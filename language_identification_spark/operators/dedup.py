@@ -1,0 +1,298 @@
+"""Deduplication operators for web-scale training-data pipelines (net-new;
+no reference counterpart — first-class per the task brief).
+
+Four families, each with the partitioning story that survives 100 TB:
+
+- **Exact** (`exact_duplicate_groups`): one shuffle on sha256(text). At
+  scale the 32-byte digest, not the document, is the shuffle key.
+- **Jaccard / n-gram** (`jaccard_similar_pairs`): exact char-shingle
+  Jaccard via a shingle-inverted-index self-join. Quadratic in the worst
+  case — the correctness oracle for the approximate methods, and usable
+  standalone after LSH has cut candidates.
+- **MinHash + LSH** (`minhash_signatures`, `minhash_lsh_candidates`,
+  `minhash_near_duplicates`): xxhash64 shingles (JVM-side) → 64 affine
+  permutations folded entirely in Spark SQL (`transform` + `array_min`, no
+  Python) → band-hash buckets → within-bucket self-join → exact-Jaccard
+  verify. The scale path: only band-bucket collisions are ever joined.
+- **SimHash** (`simhash_64`): 64-bit signature via a vectorized pandas UDF
+  (bit-twiddling is numpy's home turf), banded for Hamming-≤k candidate
+  pairing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams
+
+# 31-bit Mersenne prime: (a*h+b) stays < 2^62, safe for int64 ANSI math
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(canonical_id, n_dups) per group of byte-identical texts (n_dups>1).
+
+    Hash-groupBy on sha256 — never shuffles raw documents at scale.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("h")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("canonical_id", "n_dups")
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False))
+            ).alias("shingle"),
+        )
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with exact char-n-gram Jaccard ≥ t.
+
+    Inverted-index join: docs sharing ≥1 shingle meet once per shared
+    shingle; groupBy(pair) counts the intersection; union by
+    inclusion-exclusion. ``id_a < id_b`` dedups the symmetric pair.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE31, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, MERSENNE31, size=n_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[n_hashes]) — entirely JVM-side.
+
+    Shingles → xxhash64 (non-negative via & MAX) → per-permutation
+    ``min((a*h + b) mod M61)`` folded with transform/array_min. No shuffle:
+    the signature is computed per row in one narrow pass.
+    """
+    hashes = F.transform(
+        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)),
+        lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31),
+    )
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in _perm_params(n_hashes, seed)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, n_hashes: int = 64
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs: equal band-hash in ≥1 of ``bands``
+    bands. Shuffle key = (band_idx, band_hash) — collision buckets only."""
+    rows_per_band = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i * rows_per_band + j].cast("string")
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The verify join touches only candidate ids — at 100 TB this is the
+    difference between a quadratic shingle join and a near-linear one.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
+    cand = minhash_lsh_candidates(sigs, bands, n_hashes)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    subset = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+    verified = jaccard_similar_pairs(subset, id_col, text_col, n, threshold)
+    return verified.join(cand, ["id_a", "id_b"], "left_semi")
+
+
+def simhash_64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, simhash BIGINT) — 64-bit simhash over char n-gram multiset.
+
+    Vectorized pandas UDF: per doc, accumulate ±1 per bit over FNV-hashed
+    shingles, sign → bits. numpy does the bit unpacking for the whole
+    batch; no per-bit Python loops.
+    """
+    from ..models.hashed_ngram import _FNV_OFFSET, _FNV_PRIME, _MASK
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        cache: dict[str, np.ndarray] = {}
+        for r, t in enumerate(texts):
+            t = t if isinstance(t, str) else ""
+            acc = np.zeros(64, dtype=np.int64)
+            for i in range(max(len(t) - n + 1, 0)):
+                g = t[i : i + n]
+                bits = cache.get(g)
+                if bits is None:
+                    h = _FNV_OFFSET
+                    for byt in g.encode("utf-8"):
+                        h = ((h ^ byt) * _FNV_PRIME) & _MASK
+                    bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+                    cache[g] = bits
+                acc += 2 * bits - 1
+            sig = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[r] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(sim: DataFrame, bands: int = 4) -> DataFrame:
+    """Hamming-≤(bands-1) candidates: equal 16-bit chunk in ≥1 band."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sim.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b, cosine) with cosine ≥ threshold, via random-hyperplane
+    LSH bucketing + exact re-check inside buckets (numpy, Arrow-batched)."""
+    from .similarity import hyperplane_bucket_udf, cosine_expr
+
+    bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed, dim=None)
+    with_b = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).distinct()

@@ -1,0 +1,110 @@
+"""Evaluation operators (SURVEY.md §2.3 A8–A12) as pure DataFrame plans.
+
+The reference computes these with sklearn on driver-side arrays
+(classification_report at /root/reference/src/utils.py:211,
+confusion_matrix at :180, dataset stats at :228-235, prediction
+distribution at /root/reference/src/train/statistical.py:66-72). Here they
+are distributed aggregations — a 10^12-row prediction table never leaves
+the cluster; the outputs are ≤ |languages|² rows.
+
+sklearn semantics preserved:
+- ``zero_division=0``: 0/0 precision/recall/F1 become 0.0 (coalesce).
+- macro avg = unweighted mean over classes present in y_true ∪ y_pred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_statistics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row global stats (utils.py:228-235)."""
+    return df.agg(
+        F.count("*").alias("total_samples"),
+        F.avg(F.length(text_col)).alias("avg_text_length"),
+        F.min(F.length(text_col)).alias("min_text_length"),
+        F.max(F.length(text_col)).alias("max_text_length"),
+    )
+
+
+def label_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-label counts (utils.py:230 value_counts / A9 prediction dist)."""
+    return df.groupBy(F.col(lang_col).alias("label")).agg(F.count("*").alias("n"))
+
+
+def accuracy(df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred") -> DataFrame:
+    return df.agg(
+        F.avg((F.col(label_col) == F.col(pred_col)).cast("double")).alias("accuracy")
+    )
+
+
+def confusion_matrix_long(
+    df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred"
+) -> DataFrame:
+    """(label, pred, n) long form — the scalable shape of A12."""
+    return df.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
+    ).agg(F.count("*").alias("n"))
+
+
+def confusion_matrix_pivot(
+    df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred"
+) -> DataFrame:
+    """Wide 22×22-style matrix (driver/report artifact; small by definition)."""
+    return (
+        df.groupBy(F.col(label_col).alias("label"))
+        .pivot(pred_col)
+        .count()
+        .na.fill(0)
+        .orderBy("label")
+    )
+
+
+def classification_report(
+    df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred"
+) -> DataFrame:
+    """(class, precision, recall, f1, support) per class, sklearn-equivalent
+    with zero_division=0 (utils.py:211). Classes = labels ∪ predictions."""
+    classes = (
+        df.select(F.col(label_col).alias("class"))
+        .union(df.select(F.col(pred_col).alias("class")))
+        .distinct()
+    )
+    label_cnt = df.groupBy(F.col(label_col).alias("class")).agg(
+        F.count("*").alias("support")
+    )
+    pred_cnt = df.groupBy(F.col(pred_col).alias("class")).agg(
+        F.count("*").alias("pred_cnt")
+    )
+    tp_cnt = (
+        df.filter(F.col(label_col) == F.col(pred_col))
+        .groupBy(F.col(label_col).alias("class"))
+        .agg(F.count("*").alias("tp"))
+    )
+    out = (
+        classes.join(label_cnt, "class", "left")
+        .join(pred_cnt, "class", "left")
+        .join(tp_cnt, "class", "left")
+        .na.fill({"support": 0, "pred_cnt": 0, "tp": 0})
+    )
+    precision = F.when(F.col("pred_cnt") > 0, F.col("tp") / F.col("pred_cnt")).otherwise(0.0)
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0)
+    return out.select(
+        "class",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            (precision + recall) > 0, 2 * precision * recall / (precision + recall)
+        ).otherwise(0.0).alias("f1"),
+        "support",
+    )
+
+
+def macro_f1(df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred") -> DataFrame:
+    rep = classification_report(df, label_col, pred_col)
+    return rep.agg(
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (net-new, per the task brief).
+
+- ``brute_force_topk``: exact cosine top-k. The query side is tiny and
+  broadcast; the corpus side streams through one narrow pass + a top-k
+  window. All math is double-precision Spark SQL (zip_with/aggregate), so
+  a DuckDB oracle can reproduce it.
+- ``lsh_topk``: random-hyperplane bucketed ANN — the 100 TB path. Each
+  corpus vector lands in one bucket (one int key); queries probe their
+  bucket (and optionally multi-probe neighbors). Recall < 1 by design; the
+  brute-force operator is its correctness baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Double-precision cosine of two array<float> columns, JVM-side."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rk) — exact top-k per query vector.
+
+    Plan: broadcast the |Q| query vectors, cross-join against the corpus
+    (narrow: each corpus partition sees all queries), window top-k. The
+    corpus is scanned exactly once regardless of |Q|.
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_bucket_udf(n_planes: int = 16, seed: int = 7, dim: int | None = None):
+    """Pandas UDF: embedding → int bucket (sign pattern over random planes).
+
+    The plane matrix is derived from the seed inside the worker — tiny,
+    deterministic, no broadcast needed.
+    """
+    state: dict = {}
+
+    @F.pandas_udf("long")
+    def bucket(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        d = mat.shape[1]
+        if "p" not in state:
+            state["p"] = _planes(n_planes, d, seed)
+        signs = (mat.astype(np.float64) @ state["p"].T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    or (multi-probe) a bucket within Hamming distance ``probe_bits``.
+
+    At scale the corpus is written bucketed/partitioned by this key, so a
+    query probes 1 + n_planes partitions instead of the full table.
+    """
+    bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+    with_b = emb.withColumn("bucket", bucket(F.col(vec_col)))
+    q = with_b.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # Multi-probe: explode the query row into its probe buckets (the exact
+    # bucket plus every single-bit flip) — broadcast side stays tiny.
+    if probe_bits >= 1:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("qbucket")
+        )
+    cand = with_b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )

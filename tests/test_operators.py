@@ -1,0 +1,184 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators import dedup, eval as ev, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    rows = [(0, base), (1, base), (2, base)]  # exact dups
+    rows.append((3, base.replace("quick", "rapid")))  # near dup of 0
+    rows.append((4, "completely different content about spark shuffles and joins here"))
+    rows.append((5, "unrelated short text"))
+    for i in range(6, 30):
+        rows.append((i, f"filler document number {i} with its own distinct words {i * 7} and payload {i * 13}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    got = {(r["canonical_id"], r["n_dups"]) for r in dedup.exact_duplicate_groups(dup_docs).collect()}
+    assert got == {(0, 3)}
+
+
+def test_jaccard_pairs(dup_docs):
+    pairs = dedup.jaccard_similar_pairs(dup_docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dup pairs + the near-dup pairs with 0/1/2
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert (0, 3) in got and (1, 3) in got
+    assert all(r["jaccard"] <= 1.0 for r in pairs)
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 1)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_lsh_finds_planted_dups(dup_docs):
+    out = dedup.minhash_near_duplicates(dup_docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got  # identical docs always collide
+    assert (0, 3) in got  # near dup found by LSH then verified
+
+
+def test_minhash_agrees_with_exact_jaccard(dup_docs):
+    """No false positives: every LSH-verified pair is an exact-Jaccard pair."""
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_near_duplicates(dup_docs, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_similar_pairs(dup_docs, threshold=0.5).collect()}
+    assert lsh <= exact
+
+
+def test_simhash(dup_docs):
+    sims = {r["id"]: r["simhash"] for r in dedup.simhash_64(dup_docs).collect()}
+    assert sims[0] == sims[1] == sims[2]  # identical text → identical simhash
+    # near-dup has small hamming distance
+    ham = bin(np.uint64(sims[0]) ^ np.uint64(sims[3])).count("1")
+    assert ham <= 12, ham
+    cands = {(r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(dedup.simhash_64(dup_docs)).collect()}
+    assert (0, 1) in cands and (0, 3) in cands
+
+
+def test_brute_force_topk(spark, emb):
+    qids = [0, 1, 2]
+    out = similarity.brute_force_topk(emb, qids, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(qids)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ranks = sorted(r["rk"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        cs = [r["cosine"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert cs == sorted(cs, reverse=True)
+
+    # cross-check against numpy
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    qv = mat[ids == 0][0]
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    cos[ids == 0] = -np.inf
+    top = ids[np.argsort(-cos)][:5]
+    got = [r["neighbor_id"] for r in sorted(by_q[0], key=lambda r: r["rk"])]
+    assert set(got) == set(top.tolist())
+
+
+def test_lsh_topk_recall(spark):
+    """Recall measured on clustered vectors (LSH's intended regime; uniform
+    random vectors have no meaningful neighbors to recall)."""
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((10, 32)) * 3
+    rows = []
+    for i in range(400):
+        v = centers[i % 10] + rng.standard_normal(32) * 0.3
+        rows.append((i, v.astype(float).tolist()))
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.brute_force_topk(df, qids, k=5).collect()
+    approx = similarity.lsh_topk(df, qids, k=5, n_planes=8).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_embedding_near_duplicates(spark):
+    rows = []
+    v = np.random.RandomState(0).standard_normal(8)
+    rows.append((0, (v / np.linalg.norm(v)).tolist()))
+    rows.append((1, (v / np.linalg.norm(v) * 1.001).tolist()))  # near-identical direction
+    w = np.random.RandomState(1).standard_normal(8)
+    rows.append((2, (w / np.linalg.norm(w)).tolist()))
+    df = rows_df = None
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = pytest.importorskip("pyspark").sql.SparkSession.getActiveSession().createDataFrame(rows, schema)
+    got = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_duplicates(df, threshold=0.99).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_eval_operators(spark):
+    pred = spark.createDataFrame(
+        [("en", "en"), ("en", "fr"), ("fr", "fr"), ("fr", "fr"), ("de", "en")],
+        "lang string, lang_pred string",
+    )
+    acc = ev.accuracy(pred).first()["accuracy"]
+    assert abs(acc - 3 / 5) < 1e-12
+    rep = {r["class"]: r for r in ev.classification_report(pred).collect()}
+    # en: tp=1, pred_cnt=2, support=2 → p=0.5 r=0.5 f1=0.5
+    assert rep["en"]["precision"] == 0.5 and rep["en"]["recall"] == 0.5
+    # de: tp=0, pred 0 → zero_division=0 semantics
+    assert rep["de"]["precision"] == 0.0 and rep["de"]["f1"] == 0.0
+    cm = {(r["label"], r["pred"]): r["n"] for r in ev.confusion_matrix_long(pred).collect()}
+    assert cm[("en", "fr")] == 1 and cm[("fr", "fr")] == 2
+    piv = ev.confusion_matrix_pivot(pred).collect()
+    assert len(piv) == 3
+
+
+def test_multimodal_plumbing(pages_df):
+    media = multimodal.attach_media_metadata(pages_df.limit(50))
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_media_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+    # non-stub path raises cleanly
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_media_features(media, decode_stub=False).collect()
+
+
+def test_frame_sampling(pages_df):
+    media = multimodal.attach_media_metadata(pages_df.limit(5)).withColumn(
+        "duration_s", F.lit(3.0)
+    )
+    frames = multimodal.frame_sample_plan(media, every_s=1.0).collect()
+    assert len(frames) == 15  # 3 frames per media
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2}
