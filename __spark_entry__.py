@@ -1,38 +1,614 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline end-to-end on
+sf0.001. ``queries()``/``oracle_sql()`` expose the operator inventory
+(SURVEY.md §2 + the training-data ops) for the DuckDB correctness gate.
+
+Cross-engine float discipline: every aggregate/computed double that the
+gate hashes is ``round``-ed at a documented precision IN BOTH ENGINES, and
+argmax-style picks round the score before tie-breaking lexicographically —
+so engine-level sum-order differences (≈1e-12) cannot flip a comparison.
+Counts and rolling-hash fingerprints are exact integers.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from language_identification_spark.session import ship_package
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own SparkSession: make sure the package zip is
+    # on the executors' python path before any UDF-bearing plan runs.
+    ship_package(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline smoke
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Train langid+perplexity models on the documents table, run the full
+    quality pipeline (langid → perplexity → heuristics → scrub → keep), and
+    return per-predicted-language keep statistics."""
+    ship_package(spark)
+    from language_identification_spark.pipeline.quality import (
+        run_quality_pipeline,
+        train_quality_models,
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    models = train_quality_models(pages)
+    out = run_quality_pipeline(spark, pages, models)
+    return (
+        out.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+            F.round(F.avg("lang_conf"), 6).alias("avg_conf"),
+            F.round(F.avg("perplexity"), 6).alias("avg_ppl"),
+        )
+        .orderBy("lang_pred")
+    )
 
 
+# ---------------------------------------------------------------------------
+# queries — one entry per operator
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from language_identification_spark.functions.analysis import (
+        doc_fingerprint,
+        lang_guess_script,
+        quality_score,
+        token_count_bpe,
+        token_count_ws,
+    )
+    from language_identification_spark.functions.text import char_ngrams
+    from language_identification_spark.models.score import score_ngram_relational
+    from language_identification_spark.models.train import (
+        train_char_freq,
+        train_dunning,
+        train_markov,
+        train_ngram_lm,
+    )
+    from language_identification_spark.operators import dedup, similarity
+    from language_identification_spark.operators.eval import (
+        classification_report,
+        confusion_matrix_long,
+        dataset_statistics,
+        label_distribution,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    def norm_filter(spark, sf):
+        # P1-P4: trim/filter/project/lower (reference src/utils.py:87-97)
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.lower(F.trim(F.col("text"))).alias("norm_text"),
+            F.col("lang"),
+        ).filter(F.length(F.trim(F.col("text"))) > 0)
+
+    def ngram_counts(spark, sf):
+        # A2: char bigram counts per lang, reference '_' padding
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("lang", F.explode(char_ngrams(F.lower("text"), 2)).alias("ngram"))
+            .groupBy("lang", "ngram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def char_freq_profile(spark, sf):
+        # A4 + A3 smoothing-quirk normalization, rounded for hashing
+        m = train_char_freq(_t(spark, sf, "documents"))
+        return m.select("lang", "char", F.round("prob", 12).alias("prob"))
+
+    def markov_model(spark, sf):
+        m = train_markov(_t(spark, sf, "documents"))
+        return m.select("lang", "cur", "nxt", F.round("prob", 12).alias("prob"))
+
+    def dunning_model(spark, sf):
+        m = train_dunning(_t(spark, sf, "documents"))
+        return m.select("lang", "feat", F.round("prob", 12).alias("prob"))
+
+    def ngram_lm_predict(spark, sf):
+        # J1/W1: train unigram LM on the corpus, predict every doc
+        # relationally (explode → broadcast join → sum(log) → argmax).
+        d = _t(spark, sf, "documents")
+        model = train_ngram_lm(d, n=1)
+        grams = (
+            d.select("doc_id", F.explode(char_ngrams(F.col("text"), 1)).alias("ngram"))
+            .groupBy("doc_id", "ngram")
+            .agg(F.count("*").alias("tf"))
+        )
+        scored = (
+            grams.join(F.broadcast(model), "ngram")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.round(
+                    F.sum(F.col("tf") * F.log(F.col("prob") + F.lit(1e-8))), 6
+                ).alias("score")
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.expr("min_by(lang, struct(-score, lang))").alias("lang_pred")
+        )
+
+    def dataset_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        s = dataset_statistics(d)
+        return s.select(
+            "total_samples",
+            F.round("avg_text_length", 6).alias("avg_text_length"),
+            "min_text_length",
+            "max_text_length",
+        )
+
+    def lang_distribution(spark, sf):
+        return label_distribution(_t(spark, sf, "documents"))
+
+    def report(spark, sf):
+        # A10/A11 on a deterministic synthetic prediction column
+        d = _t(spark, sf, "documents").select(
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("en")).otherwise(F.col("lang")).alias("lang_pred"),
+        )
+        r = classification_report(d)
+        return r.select(
+            "class",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"),
+            "support",
+        )
+
+    def confusion(spark, sf):
+        d = _t(spark, sf, "documents").select(
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("en")).otherwise(F.col("lang")).alias("lang_pred"),
+        )
+        return confusion_matrix_long(d)
+
+    def top_ngrams_per_lang(spark, sf):
+        # W3: top-20 trigram profile per lang ordered by (-cnt, ngram)
+        d = _t(spark, sf, "documents")
+        counts = (
+            d.select("lang", F.explode(char_ngrams(F.lower("text"), 3)).alias("ngram"))
+            .groupBy("lang", "ngram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ngram"))
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("lang", "ngram", "cnt", "rank")
+        )
+
+    def vocab_topk(spark, sf):
+        # W4: global top-100 bigrams (CountVectorizer max_features analogue)
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(F.explode(char_ngrams(F.lower("text"), 2)).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("ngram"))
+            .limit(100)
+        )
+
+    def distinct_langs(spark, sf):
+        # U1/U4
+        return _t(spark, sf, "documents").select("lang").distinct()
+
+    def token_counts(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count_ws(F.col("text")).alias("n_ws_tokens"),
+            token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+        )
+
+    def fingerprints(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+        )
+
+    def quality_scores(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q_score"),
+            lang_guess_script(F.col("text")).alias("script_guess"),
+        )
+
+    def dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+            .select("canonical_id", "n_dups")
+        )
+
+    def dedup_jaccard(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+        pairs = dedup.jaccard_similar_pairs(d, n=8, threshold=0.8)
+        return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def embedding_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return similarity.brute_force_topk(e, [0, 1, 2, 3, 4], k=5)
+
+    def events_daily(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+
+    def tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def revenue_join(spark, sf):
+        # broadcast-dim join + agg (TPC-H Q3 shape)
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    # --- rows-only checks (not SQL-expressible: hashing/UDF internals) ---
+    def minhash_near_dups(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+        out = dedup.minhash_near_duplicates(d, n=8, threshold=0.8)
+        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def simhash_sigs(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        return dedup.simhash_64(d)
+
+    def ann_lsh_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return similarity.lsh_topk(e, [0, 1, 2], k=5, n_planes=6)
+
+    def media_features(spark, sf):
+        from language_identification_spark.operators.multimodal import (
+            attach_media_metadata,
+            extract_media_features,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        media = attach_media_metadata(
+            d.select(F.encode("text", "utf-8").alias("html"))
+        )
+        return extract_media_features(media)
+
+    return {
+        "norm_filter": norm_filter,
+        "ngram_counts": ngram_counts,
+        "char_freq_profile": char_freq_profile,
+        "markov_model": markov_model,
+        "dunning_model": dunning_model,
+        "ngram_lm_predict": ngram_lm_predict,
+        "dataset_stats": dataset_stats,
+        "lang_distribution": lang_distribution,
+        "classification_report": report,
+        "confusion_matrix": confusion,
+        "top_ngrams_per_lang": top_ngrams_per_lang,
+        "vocab_topk": vocab_topk,
+        "distinct_langs": distinct_langs,
+        "token_counts": token_counts,
+        "fingerprints": fingerprints,
+        "quality_scores": quality_scores,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "embedding_topk": embedding_topk,
+        "events_daily": events_daily,
+        "tpch_q1": tpch_q1,
+        "revenue_join": revenue_join,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_sigs": simhash_sigs,
+        "ann_lsh_topk": ann_lsh_topk,
+        "media_features": media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql — DuckDB twins (same column names, same rounding)
+# ---------------------------------------------------------------------------
+
+# n-gram expansion macro: positions 1..len(padded)-n+1 via lateral unnest.
+def _duck_ngrams(inner: str, text_expr: str, n: int) -> str:
+    pad_l = "_" * (n - 1)
+    return f"""
+      SELECT s.*, substr(s.p, t.i::INT, {n}) AS ngram
+      FROM (SELECT *, '{pad_l}' || {text_expr} || '_' AS p FROM {inner}) s,
+           LATERAL unnest(range(1, len(s.p) - {n - 1} + 1)) AS t(i)
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    corrupt_pred = "CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END"
+    report_base = f"""
+      WITH pred AS (SELECT lang, {corrupt_pred} AS lang_pred FROM documents),
+      classes AS (SELECT DISTINCT lang AS class FROM pred
+                  UNION SELECT DISTINCT lang_pred FROM pred),
+      lc AS (SELECT lang AS class, count(*) AS support FROM pred GROUP BY 1),
+      pc AS (SELECT lang_pred AS class, count(*) AS pred_cnt FROM pred GROUP BY 1),
+      tp AS (SELECT lang AS class, count(*) AS tp FROM pred WHERE lang = lang_pred GROUP BY 1),
+      j AS (SELECT c.class,
+                   coalesce(lc.support, 0) AS support,
+                   coalesce(pc.pred_cnt, 0) AS pred_cnt,
+                   coalesce(tp.tp, 0) AS tp
+            FROM classes c LEFT JOIN lc USING (class)
+            LEFT JOIN pc USING (class) LEFT JOIN tp USING (class))
     """
-    return {}
+    jacc_base = """
+      WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      sh AS (
+        SELECT DISTINCT s.doc_id AS id, substr(s.text, t.i::INT, 8) AS shingle
+        FROM sub s, LATERAL unnest(range(1, len(s.text) - 7 + 1)) AS t(i)
+      ),
+      sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+      )
+    """
+    return {
+        "norm_filter": """
+          SELECT doc_id, lower(trim(text)) AS norm_text, lang
+          FROM documents WHERE len(trim(text)) > 0
+        """,
+        "ngram_counts": f"""
+          SELECT lang, ngram, count(*) AS cnt
+          FROM ({_duck_ngrams("(SELECT lang, lower(text) AS lt FROM documents)", "lt", 2)})
+          GROUP BY lang, ngram
+        """,
+        "char_freq_profile": """
+          WITH chars AS (
+            SELECT lang, unnest(string_split(lower(text), '')) AS ch FROM documents
+          ),
+          counts AS (SELECT lang, ch AS "char", count(*) AS cnt FROM chars GROUP BY 1, 2)
+          SELECT lang, "char",
+                 round((cnt + 1e-10) /
+                       (sum(cnt) OVER (PARTITION BY lang)
+                        + 1e-10 * count(*) OVER (PARTITION BY lang)), 12) AS prob
+          FROM counts
+        """,
+        "markov_model": """
+          WITH bg AS (
+            SELECT s.lang,
+                   substr(s.p, t.i::INT, 1) AS cur,
+                   substr(s.p, t.i::INT + 1, 1) AS nxt
+            FROM (SELECT lang, '_' || text || '_' AS p FROM documents) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          counts AS (SELECT lang, cur, nxt, count(*) AS cnt FROM bg GROUP BY 1, 2, 3)
+          SELECT lang, cur, nxt,
+                 round((cnt + 1e-10) /
+                       (sum(cnt) OVER (PARTITION BY lang, cur)
+                        + 1e-10 * count(*) OVER (PARTITION BY lang, cur)), 12) AS prob
+          FROM counts
+        """,
+        "dunning_model": """
+          WITH uni AS (
+            SELECT lang, 'c_' || unnest(string_split(lower(text), '')) AS feat
+            FROM documents
+          ),
+          bg AS (
+            SELECT s.lang, 'bg_' || substr(s.p, t.i::INT, 2) AS feat
+            FROM (SELECT lang, '_' || lower(text) || '_' AS p FROM documents) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+          counts AS (SELECT lang, feat, count(*) AS cnt FROM feats GROUP BY 1, 2),
+          vocab AS (SELECT DISTINCT feat FROM counts),
+          vs AS (SELECT count(*) AS v FROM vocab),
+          totals AS (SELECT lang, sum(cnt) AS total FROM counts GROUP BY 1)
+          SELECT t.lang, v.feat,
+                 round((coalesce(c.cnt, 0) + 0.5) / (t.total + 0.5 * vs.v), 12) AS prob
+          FROM totals t CROSS JOIN vocab v CROSS JOIN vs
+          LEFT JOIN counts c ON c.lang = t.lang AND c.feat = v.feat
+        """,
+        "ngram_lm_predict": f"""
+          WITH grams AS (
+            SELECT s.doc_id, s.lang, substr(s.p, t.i::INT, 1) AS ngram
+            FROM (SELECT doc_id, lang, text || '_' AS p FROM documents) s,
+                 LATERAL unnest(range(1, len(s.p) + 1)) AS t(i)
+          ),
+          counts AS (SELECT lang, ngram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+          model AS (
+            SELECT lang, ngram,
+                   (cnt + 1e-8) /
+                   (sum(cnt) OVER (PARTITION BY lang)
+                    + 1e-8 * count(*) OVER (PARTITION BY lang)) AS prob
+            FROM counts
+          ),
+          doc_tf AS (SELECT doc_id, ngram, count(*) AS tf FROM grams GROUP BY 1, 2),
+          scored AS (
+            SELECT d.doc_id, m.lang,
+                   round(sum(d.tf * ln(m.prob + 1e-8)), 6) AS score
+            FROM doc_tf d JOIN model m ON d.ngram = m.ngram
+            GROUP BY 1, 2
+          )
+          SELECT doc_id, lang AS lang_pred FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang ASC) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        """,
+        "dataset_stats": """
+          SELECT count(*) AS total_samples,
+                 round(avg(len(text)), 6) AS avg_text_length,
+                 min(len(text)) AS min_text_length,
+                 max(len(text)) AS max_text_length
+          FROM documents
+        """,
+        "lang_distribution": "SELECT lang AS label, count(*) AS n FROM documents GROUP BY 1",
+        "classification_report": report_base
+        + """
+          SELECT class,
+                 round(CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END, 6) AS precision,
+                 round(CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END, 6) AS recall,
+                 round(CASE WHEN (CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END
+                              + CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END) > 0
+                        THEN 2 * (CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END)
+                               * (CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END)
+                             / ((CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END)
+                               + (CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END))
+                        ELSE 0 END, 6) AS f1,
+                 support
+          FROM j
+        """,
+        "confusion_matrix": f"""
+          SELECT lang AS label, {corrupt_pred} AS pred, count(*) AS n
+          FROM documents GROUP BY 1, 2
+        """,
+        "top_ngrams_per_lang": f"""
+          WITH counts AS (
+            SELECT lang, ngram, count(*) AS cnt
+            FROM ({_duck_ngrams("(SELECT lang, lower(text) AS lt FROM documents)", "lt", 3)})
+            GROUP BY lang, ngram
+          )
+          SELECT lang, ngram, cnt, rank FROM (
+            SELECT lang, ngram, cnt,
+                   row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) AS rank
+            FROM counts
+          ) WHERE rank <= 20
+        """,
+        "vocab_topk": f"""
+          SELECT ngram, count(*) AS cnt
+          FROM ({_duck_ngrams("(SELECT lower(text) AS lt FROM documents)", "lt", 2)})
+          GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 100
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "token_counts": """
+          SELECT doc_id,
+                 CASE WHEN len(text) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(text, '[ \t\n]+')) END AS n_ws_tokens,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS n_bpe_tokens
+          FROM documents
+        """,
+        "fingerprints": """
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 1000000007
+                 ) AS fingerprint
+          FROM documents
+        """,
+        "quality_scores": """
+          SELECT doc_id,
+            round(greatest(least(
+              (len(regexp_extract_all(text, '[A-Za-zÀ-ÿА-яΑ-ω\\x{4e00}-\\x{9fff}]'))::DOUBLE
+                 / greatest(len(text), 1)) * 0.6
+              + least((len(regexp_extract_all(text, '[ ]'))::DOUBLE / greatest(len(text), 1)) * 4, 1.0) * 0.3
+              + (1 - least((len(regexp_extract_all(text, '[#!$%&*+=@^~|<>]'))::DOUBLE / greatest(len(text), 1)) * 10, 1.0)) * 0.1
+            , 1.0), 0.0), 6) AS q_score,
+            CASE
+              WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 100 / greatest(len(text), 1) > 10 THEN 'cjk'
+              WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) * 100 / greatest(len(text), 1) > 30 THEN 'cyrillic'
+              WHEN len(regexp_extract_all(text, '[\\x{0370}-\\x{03ff}]')) * 100 / greatest(len(text), 1) > 30 THEN 'greek'
+              WHEN len(regexp_extract_all(text, '[A-Za-z]')) * 100 / greatest(len(text), 1) > 30 THEN 'latin'
+              ELSE 'other'
+            END AS script_guess
+          FROM documents
+        """,
+        "dedup_exact": """
+          SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+          FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_jaccard": jacc_base
+        + """
+          SELECT i.id_a, i.id_b,
+                 round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+          FROM inter i
+          JOIN sz sa ON sa.id = i.id_a
+          JOIN sz sb ON sb.id = i.id_b
+          WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.8
+        """,
+        "embedding_topk": """
+          WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+          ),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+          )
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+            FROM scored
+          ) WHERE rk <= 5
+        """,
+        "events_daily": """
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                 count(*) AS n, round(sum(value), 6) AS sum_value
+          FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 4) AS sum_qty,
+                 round(sum(l_extendedprice), 4) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                 round(avg(l_discount), 6) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_join": """
+          SELECT c_mktsegment,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                 count(DISTINCT o_orderkey) AS n_orders
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        """,
+        # minhash_near_dups / simhash_sigs / ann_lsh_topk / media_features:
+        # intentionally omitted (hash-function/UDF internals are not
+        # SQL-expressible) → driver records rows-only checks.
+    }

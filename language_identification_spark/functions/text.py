@@ -50,12 +50,16 @@ def char_ngrams(col: Column, n: int, reference_pad: bool = True) -> Column:
         padded = F.concat(F.lit("_" * (n - 1)), col, F.lit("_"))
     else:
         padded = col
-    # padded length >= n always when reference_pad (len + n), so the
-    # sequence is non-empty and ascending.
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
         lambda i: F.substring(padded, i, F.lit(n)),
     )
+    if reference_pad:
+        # padded length >= n always (len + n): sequence is valid/ascending.
+        return grams
+    # Unpadded text shorter than n: sequence(1, len-n+1<1) would generate a
+    # DESCENDING range — guard to an empty array (matches DuckDB range()).
+    return F.when(F.length(padded) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 def char_ngrams_sql(text_sql: str, n: int, reference_pad: bool = True) -> str:

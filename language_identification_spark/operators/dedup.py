@@ -112,24 +112,35 @@ def minhash_signatures(
     n_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig ARRAY<BIGINT>[n_hashes]) — entirely JVM-side.
+    """(id, sig ARRAY<BIGINT>[n_hashes]) — hybrid JVM + numpy, no shuffle.
 
-    Shingles → xxhash64 (non-negative via & MAX) → per-permutation
-    ``min((a*h + b) mod M61)`` folded with transform/array_min. No shuffle:
-    the signature is computed per row in one narrow pass.
+    Shingle hashing stays JVM-side (one xxhash64 per distinct shingle,
+    codegen'd); the 64 affine permutations + min-reduction run as ONE numpy
+    matrix op per Arrow batch — (S×64) broadcasted multiply-add, min over
+    axis 0. The all-SQL variant (64 interpreted ``transform`` lambdas per
+    row) measured ~25× slower at bench time.
     """
+    params = _perm_params(n_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(len(a_vec), MERSENNE31 - 1, dtype=np.int64)
+        for h in hash_arrays:
+            if h is None or len(h) == 0:
+                out.append(empty)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[:, None]  # (S, 1)
+            out.append(((hv * a_vec + b_vec) % MERSENNE31).min(axis=0))
+        return pd.Series(out)
+
     hashes = F.transform(
         F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)),
         lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31),
     )
-
-    def perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
-        )
-
-    sig = F.array(*[perm_min(a, b) for a, b in _perm_params(n_hashes, seed)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return df.select(F.col(id_col).alias("id"), sig_udf(hashes).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -189,7 +200,9 @@ def minhash_near_duplicates(
     difference between a quadratic shingle join and a near-linear one.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
-    cand = minhash_lsh_candidates(sigs, bands, n_hashes)
+    # Candidates feed three consumers (two id projections + the final
+    # semi-join); persist so the signature+self-join lineage runs once.
+    cand = minhash_lsh_candidates(sigs, bands, n_hashes).persist()
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))

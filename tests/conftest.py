@@ -35,4 +35,5 @@ def pages_df(spark, pages_pdf, tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return os.path.join(TESTDATA, "sf0.001")
+    # SPARK_GRAFT_SF_NAME=sf0.01 runs the oracle gate at driver scale
+    return os.path.join(TESTDATA, os.environ.get("SPARK_GRAFT_SF_NAME", "sf0.001"))
