@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_count_ws,
     )
     from language_identification_spark.functions.text import char_ngrams
-    from language_identification_spark.models.score import score_ngram_relational
     from language_identification_spark.models.train import (
         train_char_freq,
         train_dunning,
@@ -250,6 +249,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         return similarity.brute_force_topk(e, [0, 1, 2, 3, 4], k=5)
 
+    def embedding_cosine_pairs(spark, sf):
+        # exact embedding near-dup: all pairs with cosine ≥ 0.4 on a subset
+        from language_identification_spark.operators.similarity import cosine_expr
+
+        e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        return pairs.filter(F.col("cosine") >= 0.4)
+
+    def embedding_near_dups(spark, sf):
+        # hyperplane-LSH bucketed near-dup (scale path; rows-only check)
+        e = _t(spark, sf, "embeddings")
+        return dedup.embedding_near_duplicates(e, threshold=0.5).select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
+
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
         return ev.groupBy(
@@ -291,6 +309,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("revenue"),
                 F.countDistinct("o_orderkey").alias("n_orders"),
             )
+        )
+
+    def cavnar_profile(spark, sf):
+        # A6: top-400 1..5-gram rank profile per lang over the ' '-joined
+        # concatenation in doc_id order (applyInPandas trainer vs SQL oracle)
+        from language_identification_spark.models.train import train_cavnar_trenkle
+
+        d = _t(spark, sf, "documents")
+        return train_cavnar_trenkle(d, order_col="doc_id")
+
+    def dunning_predict(spark, sf):
+        # J5: left join with raw-0.5 fallback, length-normalized log-prob,
+        # argmax per doc (docs subset to bound the cross join)
+        d = _t(spark, sf, "documents")
+        model = train_dunning(d)
+        sub = d.filter(F.col("doc_id") < 300)
+        low = F.lower(F.col("text"))
+        uni = sub.select(
+            "doc_id", F.explode(char_ngrams(low, 1, reference_pad=False)).alias("raw")
+        ).select("doc_id", F.concat(F.lit("c_"), F.col("raw")).alias("feat"))
+        pad = F.concat(F.lit("_"), low, F.lit("_"))
+        bg = sub.select(
+            "doc_id", F.explode(char_ngrams(pad, 2, reference_pad=False)).alias("raw")
+        ).select("doc_id", F.concat(F.lit("bg_"), F.col("raw")).alias("feat"))
+        feats = uni.unionAll(bg).groupBy("doc_id", "feat").agg(F.count("*").alias("cnt"))
+        langs = d.select("lang").distinct()
+        scored = (
+            feats.crossJoin(F.broadcast(langs))
+            .join(F.broadcast(model), ["lang", "feat"], "left")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.round(
+                    F.sum(F.col("cnt") * F.log(F.coalesce(F.col("prob"), F.lit(0.5))))
+                    / F.sum("cnt"),
+                    6,
+                ).alias("score")
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.expr("min_by(lang, struct(-score, lang))").alias("lang_pred")
+        )
+
+    def tfidf_top_terms(spark, sf):
+        # A13: sklearn-style smoothed idf over char bigrams, top-5 per doc
+        d = _t(spark, sf, "documents")
+        n_docs = d.count()
+        tf = (
+            d.select("doc_id", F.explode(char_ngrams(F.lower("text"), 2)).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        idf = df_.select(
+            "term",
+            (F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
+        )
+        scored = (
+            tf.filter(F.col("doc_id") < 100)
+            .join(F.broadcast(idf), "term")
+            .select("doc_id", "term", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("doc_id", "term", "tfidf", "rk")
+        )
+
+    def dunning_top_features(spark, sf):
+        # A14/W5: top-10 features per lang by probability
+        from pyspark.sql import Window
+
+        m = train_dunning(_t(spark, sf, "documents")).select(
+            "lang", "feat", F.round("prob", 12).alias("prob")
+        )
+        w = Window.partitionBy("lang").orderBy(F.desc("prob"), F.asc("feat"))
+        return (
+            m.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("lang", "feat", "prob", "rk")
+        )
+
+    def user_sessions(spark, sf):
+        # sessionization: lag + gap>30min cumsum (window-function showcase)
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = ev.select(
+            "user_id",
+            "ts",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ).cast("int").alias("new_sess"),
+        )
+        return gaps.groupBy("user_id").agg(
+            (F.coalesce(F.sum("new_sess"), F.lit(0)) + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
         )
 
     # --- rows-only checks (not SQL-expressible: hashing/UDF internals) ---
@@ -336,9 +455,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "fingerprints": fingerprints,
         "quality_scores": quality_scores,
+        "cavnar_profile": cavnar_profile,
+        "dunning_predict": dunning_predict,
+        "tfidf_top_terms": tfidf_top_terms,
+        "dunning_top_features": dunning_top_features,
+        "user_sessions": user_sessions,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
+        "embedding_cosine_pairs": embedding_cosine_pairs,
+        "embedding_near_dups": embedding_near_dups,
         "events_daily": events_daily,
         "tpch_q1": tpch_q1,
         "revenue_join": revenue_join,
@@ -554,6 +680,141 @@ def oracle_sql() -> dict[str, str]:
             END AS script_guess
           FROM documents
         """,
+        "cavnar_profile": """
+          WITH combined AS (
+            SELECT lang, lower(string_agg(text, ' ' ORDER BY doc_id)) AS t
+            FROM documents GROUP BY lang
+          ),
+          grams AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"""
+            SELECT c.lang, substr(p.p, i.i::INT, {n}) AS ngram
+            FROM combined c,
+                 LATERAL (SELECT '{'_' * (n - 1)}' || c.t || '{'_' * (n - 1)}' AS p) p,
+                 LATERAL unnest(range(1, len(p.p) - {n - 1} + 1)) AS i(i)
+            """
+            for n in range(1, 6)
+        )
+        + """
+          ),
+          counts AS (SELECT lang, ngram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+          SELECT lang, ngram, cnt, rank FROM (
+            SELECT lang, ngram, cnt,
+                   row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) - 1 AS rank
+            FROM counts
+          ) WHERE rank < 400
+        """,
+        "dunning_predict": """
+          WITH uni AS (
+            SELECT lang, 'c_' || unnest(string_split(lower(text), '')) AS feat
+            FROM documents
+          ),
+          bg AS (
+            SELECT s.lang, 'bg_' || substr(s.p, t.i::INT, 2) AS feat
+            FROM (SELECT lang, '_' || lower(text) || '_' AS p FROM documents) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          allfeats AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+          counts AS (SELECT lang, feat, count(*) AS cnt FROM allfeats GROUP BY 1, 2),
+          vocab AS (SELECT DISTINCT feat FROM counts),
+          vs AS (SELECT count(*) AS v FROM vocab),
+          totals AS (SELECT lang, sum(cnt) AS total FROM counts GROUP BY 1),
+          model AS (
+            SELECT t.lang, v.feat,
+                   (coalesce(c.cnt, 0) + 0.5) / (t.total + 0.5 * vs.v) AS prob
+            FROM totals t CROSS JOIN vocab v CROSS JOIN vs
+            LEFT JOIN counts c ON c.lang = t.lang AND c.feat = v.feat
+          ),
+          duni AS (
+            SELECT doc_id, 'c_' || unnest(string_split(lower(text), '')) AS feat
+            FROM documents WHERE doc_id < 300
+          ),
+          dbg AS (
+            SELECT s.doc_id, 'bg_' || substr(s.p, t.i::INT, 2) AS feat
+            FROM (SELECT doc_id, '_' || lower(text) || '_' AS p
+                  FROM documents WHERE doc_id < 300) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          dfeats AS (
+            SELECT doc_id, feat, count(*) AS cnt
+            FROM (SELECT * FROM duni UNION ALL SELECT * FROM dbg) GROUP BY 1, 2
+          ),
+          langs AS (SELECT DISTINCT lang FROM documents),
+          scored AS (
+            SELECT d.doc_id, l.lang,
+                   round(sum(d.cnt * ln(coalesce(m.prob, 0.5))) / sum(d.cnt), 6) AS score
+            FROM dfeats d CROSS JOIN langs l
+            LEFT JOIN model m ON m.lang = l.lang AND m.feat = d.feat
+            GROUP BY 1, 2
+          )
+          SELECT doc_id, lang AS lang_pred FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang ASC) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        """,
+        "tfidf_top_terms": f"""
+          WITH tf AS (
+            SELECT doc_id, ngram AS term, count(*) AS tf
+            FROM ({_duck_ngrams("(SELECT doc_id, lower(text) AS lt FROM documents)", "lt", 2)})
+            GROUP BY 1, 2
+          ),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          idf AS (
+            SELECT term, ln((1.0 + n.n_docs) / (1.0 + count(DISTINCT doc_id))) + 1.0 AS idf
+            FROM tf CROSS JOIN n GROUP BY term, n.n_docs
+          )
+          SELECT doc_id, term, tfidf, rk FROM (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * idf.idf, 6) AS tfidf,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.term ASC) AS rk
+            FROM tf JOIN idf USING (term) WHERE tf.doc_id < 100
+          ) WHERE rk <= 5
+        """,
+        "dunning_top_features": """
+          WITH uni AS (
+            SELECT lang, 'c_' || unnest(string_split(lower(text), '')) AS feat
+            FROM documents
+          ),
+          bg AS (
+            SELECT s.lang, 'bg_' || substr(s.p, t.i::INT, 2) AS feat
+            FROM (SELECT lang, '_' || lower(text) || '_' AS p FROM documents) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+          counts AS (SELECT lang, feat, count(*) AS cnt FROM feats GROUP BY 1, 2),
+          vocab AS (SELECT DISTINCT feat FROM counts),
+          vs AS (SELECT count(*) AS v FROM vocab),
+          totals AS (SELECT lang, sum(cnt) AS total FROM counts GROUP BY 1),
+          model AS (
+            SELECT t.lang, v.feat,
+                   round((coalesce(c.cnt, 0) + 0.5) / (t.total + 0.5 * vs.v), 12) AS prob
+            FROM totals t CROSS JOIN vocab v CROSS JOIN vs
+            LEFT JOIN counts c ON c.lang = t.lang AND c.feat = v.feat
+          )
+          SELECT lang, feat, prob, rk FROM (
+            SELECT lang, feat, prob,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY prob DESC, feat ASC) AS rk
+            FROM model
+          ) WHERE rk <= 10
+        """,
+        "user_sessions": """
+          WITH gaps AS (
+            SELECT user_id,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+          )
+          SELECT user_id,
+                 coalesce(sum(new_sess), 0) + 1 AS n_sessions,
+                 count(*) AS n_events
+          FROM gaps GROUP BY user_id
+        """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
           FROM documents GROUP BY sha256(text)
@@ -583,6 +844,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
             FROM scored
           ) WHERE rk <= 5
+        """,
+        "embedding_cosine_pairs": """
+          WITH sub AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 200
+          )
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
         """,
         "events_daily": """
           SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

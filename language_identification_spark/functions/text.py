@@ -76,34 +76,39 @@ def words(col: Column) -> Column:
     )
 
 
+WS_CHARS = " \t\n\x0b\f\r"
+SYMBOL_CHARS = "#!$%&*+=@^~|<>"
+
+
 def with_quality_columns(df: DataFrame, text_col: str = "norm_text") -> DataFrame:
     """Gopher/C4-style heuristic quality features as native Spark SQL columns
     (no UDF): doc length, word stats, symbol ratio, repetition ratio.
 
     Assumes ``text_col`` is already normalized (no leading/trailing ws).
+
+    Perf note: character counting uses ``translate`` (codegen'd, allocation
+    light) instead of ``regexp_replace``, and mean word length is derived
+    as (non-ws chars)/n_words instead of an interpreted higher-order
+    ``aggregate`` over the word array — HOFs are not codegen'd and measured
+    as the pipeline's JVM bottleneck at 32 cores. Semantics are identical
+    to the Python twin ``py_quality_features``.
     """
     c = F.col(text_col)
     w = words(c)
     n_words = F.size(w)
+    non_ws = F.length(F.translate(c, WS_CHARS, ""))
+    non_symbol = F.length(F.translate(c, SYMBOL_CHARS, ""))
     return (
         df.withColumn("n_chars", F.length(c))
         .withColumn("n_words", n_words)
         .withColumn(
             "mean_word_len",
-            F.when(
-                n_words > 0,
-                F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-                / n_words,
-            ).otherwise(F.lit(0.0)),
+            F.when(n_words > 0, non_ws.cast("double") / n_words).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "symbol_ratio",
             F.when(
-                n_words > 0,
-                (F.length(c) - F.length(F.regexp_replace(c, SYMBOL_CLASS, ""))).cast(
-                    "double"
-                )
-                / n_words,
+                n_words > 0, (F.length(c) - non_symbol).cast("double") / n_words
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
@@ -125,6 +130,19 @@ def py_words(s: str) -> list[str]:
     if not s:
         return []
     return [t for t in _PY_WS_RE.split(s) if t]
+
+
+def py_quality_features_batch(norm_series) -> dict[str, list]:
+    """Vectorized batch twin of :func:`py_quality_features` — same integer
+    counts, same divisions, so every float is bit-identical to the
+    per-doc oracle path. Used by the fused serving UDF."""
+    out = {k: [] for k in ("n_chars", "n_words", "mean_word_len",
+                           "symbol_ratio", "distinct_word_ratio")}
+    for norm in norm_series:
+        f = py_quality_features(norm)
+        for k in out:
+            out[k].append(f[k])
+    return out
 
 
 def py_quality_features(norm: str) -> dict[str, float]:

@@ -25,20 +25,27 @@ import pandas as pd
 K_SMOOTH = 0.5
 
 
+def doc_bigram_keys(text: str) -> np.ndarray:
+    """uint64 keys (cur_cp << 32 | nxt_cp) of '_text_' transitions — numpy,
+    no per-char Python."""
+    cp = np.frombuffer(("_" + text.lower() + "_").encode("utf-32-le"), dtype=np.uint32)
+    c = cp.astype(np.uint64)
+    return (c[:-1] << np.uint64(32)) | c[1:]
+
+
 def bigram_counts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """(text) batch → (cur, nxt, cnt) partial aggregate for mapInPandas."""
-    acc: dict[tuple[str, str], int] = {}
-    for text in pdf["text"]:
-        t = "_" + text.lower() + "_"
-        for i in range(len(t) - 1):
-            key = (t[i], t[i + 1])
-            acc[key] = acc.get(key, 0) + 1
-    if not acc:
+    chunks = [
+        doc_bigram_keys(t if isinstance(t, str) else "") for t in pdf["text"]
+    ]
+    if not chunks:
         return pd.DataFrame({"cur": pd.Series(dtype="object"),
                              "nxt": pd.Series(dtype="object"),
                              "cnt": pd.Series(dtype="int64")})
-    cur, nxt = zip(*acc.keys())
-    return pd.DataFrame({"cur": cur, "nxt": nxt, "cnt": list(acc.values())})
+    keys, cnts = np.unique(np.concatenate(chunks), return_counts=True)
+    cur = [chr(int(k >> np.uint64(32))) for k in keys]
+    nxt = [chr(int(k & np.uint64(0xFFFFFFFF))) for k in keys]
+    return pd.DataFrame({"cur": cur, "nxt": nxt, "cnt": cnts})
 
 
 @dataclass

@@ -10,10 +10,10 @@ Four families, each with the partitioning story that survives 100 TB:
   case — the correctness oracle for the approximate methods, and usable
   standalone after LSH has cut candidates.
 - **MinHash + LSH** (`minhash_signatures`, `minhash_lsh_candidates`,
-  `minhash_near_duplicates`): xxhash64 shingles (JVM-side) → 64 affine
-  permutations folded entirely in Spark SQL (`transform` + `array_min`, no
-  Python) → band-hash buckets → within-bucket self-join → exact-Jaccard
-  verify. The scale path: only band-bucket collisions are ever joined.
+  `minhash_near_duplicates`): xxhash64 shingles (JVM-side, codegen) → 64
+  affine permutations as one numpy matrix-min per Arrow batch → band-hash
+  buckets → within-bucket self-join → exact-Jaccard verify. The scale
+  path: only band-bucket collisions are ever joined.
 - **SimHash** (`simhash_64`): 64-bit signature via a vectorized pandas UDF
   (bit-twiddling is numpy's home turf), banded for Hamming-≤k candidate
   pairing.
@@ -222,8 +222,7 @@ def simhash_64(
     shingles, sign → bits. numpy does the bit unpacking for the whole
     batch; no per-bit Python loops.
     """
-    from ..models.hashed_ngram import _FNV_OFFSET, _FNV_PRIME, _MASK
-
+    FNV_OFFSET, FNV_PRIME, MASK = 0xCBF29CE484222325, 0x100000001B3, (1 << 64) - 1
     shifts = np.arange(64, dtype=np.uint64)
 
     @F.pandas_udf("long")
@@ -237,9 +236,9 @@ def simhash_64(
                 g = t[i : i + n]
                 bits = cache.get(g)
                 if bits is None:
-                    h = _FNV_OFFSET
+                    h = FNV_OFFSET
                     for byt in g.encode("utf-8"):
-                        h = ((h ^ byt) * _FNV_PRIME) & _MASK
+                        h = ((h ^ byt) * FNV_PRIME) & MASK
                     bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
                     cache[g] = bits
                 acc += 2 * bits - 1

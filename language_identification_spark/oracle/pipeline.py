@@ -17,25 +17,23 @@ import pandas as pd
 from ..functions.scrub import scrub_text
 from ..functions.text import py_norm, py_quality_features
 from ..models.hashed_ngram import DIM, HashedNgramNB, doc_bucket_counts
-from ..models.perplexity import BigramLM
+from ..models.perplexity import BigramLM, doc_bigram_keys
 from ..pipeline.rules import py_keep
 
 
 def train_oracle_models(train_pdf: pd.DataFrame, dim: int = DIM):
     """train_pdf: columns (text, lang). Returns (HashedNgramNB, BigramLM)."""
+    import numpy as np
+
     acc: dict[tuple[str, int], int] = {}
     doc_counts: dict[str, int] = {}
-    cache: dict[str, int] = {}
-    bg: dict[tuple[str, str], int] = {}
+    bg_chunks: list[np.ndarray] = []
     for text, lang in zip(train_pdf["text"], train_pdf["lang"]):
         norm = py_norm(text or "")
         doc_counts[lang] = doc_counts.get(lang, 0) + 1
-        for b, c in doc_bucket_counts(norm, dim, cache).items():
+        for b, c in doc_bucket_counts(norm, dim).items():
             acc[(lang, b)] = acc.get((lang, b), 0) + c
-        t = "_" + norm.lower() + "_"
-        for i in range(len(t) - 1):
-            key = (t[i], t[i + 1])
-            bg[key] = bg.get(key, 0) + 1
+        bg_chunks.append(doc_bigram_keys(norm))
 
     langs, buckets = zip(*acc.keys()) if acc else ((), ())
     bucket_counts = pd.DataFrame(
@@ -43,9 +41,15 @@ def train_oracle_models(train_pdf: pd.DataFrame, dim: int = DIM):
     )
     nb = HashedNgramNB.from_counts(bucket_counts, doc_counts, dim=dim)
 
-    cur, nxt = zip(*bg.keys()) if bg else ((), ())
+    keys, cnts = np.unique(np.concatenate(bg_chunks), return_counts=True)
     lm = BigramLM.from_counts(
-        pd.DataFrame({"cur": cur, "nxt": nxt, "cnt": list(bg.values())})
+        pd.DataFrame(
+            {
+                "cur": [chr(int(k >> np.uint64(32))) for k in keys],
+                "nxt": [chr(int(k & np.uint64(0xFFFFFFFF))) for k in keys],
+                "cnt": cnts,
+            }
+        )
     )
     return nb, lm
 

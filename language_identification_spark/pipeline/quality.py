@@ -28,6 +28,7 @@ from ..functions.scrub import scrub_series
 from ..functions.text import with_quality_columns
 from ..models.hashed_ngram import DIM, HashedNgramNB, featurize_counts_pdf
 from ..models.perplexity import BigramLM, bigram_counts_pdf
+from ..session import ship_package
 from .rules import keep_expr
 
 OUTPUT_STRUCT = T.StructType(
@@ -37,6 +38,20 @@ OUTPUT_STRUCT = T.StructType(
         T.StructField("lang_conf", T.DoubleType()),
         T.StructField("perplexity", T.DoubleType()),
         T.StructField("scrubbed_text", T.StringType()),
+    ]
+)
+
+FUSED_STRUCT = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
+        T.StructField("scrubbed_text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("mean_word_len", T.DoubleType()),
+        T.StructField("symbol_ratio", T.DoubleType()),
+        T.StructField("distinct_word_ratio", T.DoubleType()),
     ]
 )
 
@@ -55,6 +70,10 @@ def train_quality_models(train_df: DataFrame, dim: int = DIM) -> QualityModels:
     Counts are exact integers ⇒ the resulting float model is identical
     regardless of partitioning (SURVEY.md §7.3 float-determinism rule).
     """
+    # Caller may supply any SparkSession (the driver does): the UDF/
+    # mapInPandas closures below reference package modules, so the package
+    # zip must be on the executors' python path.
+    ship_package(train_df.sparkSession)
     src = train_df.select("text", "lang")
 
     def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -94,6 +113,7 @@ def make_score_udf(spark: SparkSession, models: QualityModels):
     The broadcast is deserialized once per Python worker process (module
     cache + spark.python.worker.reuse), never per batch.
     """
+    ship_package(spark)
     bc = spark.sparkContext.broadcast(models)
     state: dict = {}
 
@@ -119,10 +139,63 @@ def make_score_udf(spark: SparkSession, models: QualityModels):
     return score
 
 
+def make_fused_udf(spark: SparkSession, models: QualityModels):
+    """Fused serving UDF: scoring + scrub + heuristic features in ONE Arrow
+    pass, returning numbers instead of a second full-text column.
+
+    vs the default path: drops ``norm_text`` from the Arrow return (one
+    full copy of every document saved on the Python→JVM hop) and computes
+    the heuristic features with the byte-identical Python twin instead of
+    a second JVM scan over the text. Used by ``heuristics='fused'``.
+    """
+    from ..functions.text import py_quality_features_batch
+
+    ship_package(spark)
+    bc = spark.sparkContext.broadcast(models)
+    state: dict = {}
+
+    @F.pandas_udf(FUSED_STRUCT)
+    def score(texts: pd.Series) -> pd.DataFrame:
+        if "m" not in state:
+            state["m"] = bc.value
+        m: QualityModels = state["m"]
+        norm = texts.fillna("").str.strip()
+        labels, confs = m.langid.predict_labels(norm.tolist())
+        ppl = m.lm.perplexity_batch(norm.tolist())
+        feats = py_quality_features_batch(norm)
+        return pd.DataFrame(
+            {
+                "lang_pred": labels,
+                "lang_conf": confs,
+                "perplexity": ppl,
+                "scrubbed_text": scrub_series(norm),
+                **feats,
+            }
+        )
+
+    return score
+
+
 def run_quality_pipeline(
-    spark: SparkSession, pages: DataFrame, models: QualityModels
+    spark: SparkSession,
+    pages: DataFrame,
+    models: QualityModels,
+    heuristics: str = "native",
 ) -> DataFrame:
-    """pages → scored/filtered output. Narrow (no shuffle) after the scan."""
+    """pages → scored/filtered output. Narrow (no shuffle) after the scan.
+
+    ``heuristics='native'`` (default): heuristic columns as Spark SQL
+    expressions over the UDF's ``norm_text`` — fully Catalyst-visible.
+    ``heuristics='fused'``: features computed inside the scoring UDF (same
+    numbers, bit-identical) — one Arrow pass, no norm_text round trip;
+    the faster serving shape when nothing downstream needs norm_text.
+    """
+    if heuristics == "fused":
+        score = make_fused_udf(spark, models)
+        out = pages.withColumn("_s", score(F.col("text"))).select(
+            *[c for c in pages.columns if c not in ("html",)], "_s.*"
+        )
+        return out.withColumn("keep", keep_expr())
     score = make_score_udf(spark, models)
     out = pages.withColumn("_s", score(F.col("text"))).select(
         *[c for c in pages.columns if c not in ("html",)], "_s.*"

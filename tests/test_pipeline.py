@@ -104,3 +104,14 @@ def test_output_schema(spark, pages_df, spark_models):
         "perplexity", "scrubbed_text", "n_chars", "n_words",
     } <= cols
     assert "html" not in cols  # pruned: never carry the heavy binary column
+
+
+def test_fused_matches_native(spark, pages_df, spark_models):
+    native = run_quality_pipeline(spark, pages_df, spark_models)
+    fused = run_quality_pipeline(spark, pages_df, spark_models, heuristics="fused")
+    cols = ["url", "keep", "lang_pred", "lang_conf", "perplexity",
+            "scrubbed_text", "n_chars", "n_words", "mean_word_len",
+            "symbol_ratio", "distinct_word_ratio"]
+    a = sorted(map(tuple, native.select(cols).collect()))
+    b = sorted(map(tuple, fused.select(cols).collect()))
+    assert a == b

@@ -1,0 +1,56 @@
+"""Physical-plan pins (SURVEY.md §4.2): the plans we designed, not just
+the results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from language_identification_spark.models.score import score_ngram_relational
+from language_identification_spark.models.train import train_ngram_lm
+from language_identification_spark.pipeline.quality import (
+    run_quality_pipeline,
+    train_quality_models,
+)
+from language_identification_spark.plans.asserts import (
+    assert_broadcast_join,
+    assert_no_shuffle,
+    assert_pushed_filter,
+    count_exchanges,
+)
+
+
+def test_pipeline_is_narrow(spark, pages_df):
+    """The serving pipeline must be shuffle-free: at 100 TB any Exchange
+    on the scored side is a regression."""
+    models = train_quality_models(pages_df.filter("split = 'train'"))
+    out = run_quality_pipeline(spark, pages_df, models)
+    assert_no_shuffle(out)
+
+
+def test_model_join_is_broadcast(spark, pages_df):
+    df = pages_df.select("text", F.col("lang"), F.monotonically_increasing_id().alias("doc_id"))
+    model = train_ngram_lm(df, n=1)
+    out = score_ngram_relational(df, model, n=1, smoothing=1e-8)
+    assert_broadcast_join(out)
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    assert_pushed_filter(q, "LessThan(doc_id,100)")
+
+
+def test_column_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select("doc_id", "lang")
+    from language_identification_spark.plans.asserts import explain_str
+
+    plan = explain_str(q)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_training_is_single_shuffle_per_model(spark, pages_df):
+    df = pages_df.select("text", "lang")
+    m = train_ngram_lm(df, n=1)
+    # one shuffle for the groupBy + one for the window partitioning
+    assert count_exchanges(m) <= 2
