@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.models import score as sc
+from language_identification_spark.oracle import reference as ref
+from language_identification_spark.sources.catalog import (
+    iceberg_available,
+    write_bucketed,
+)
+from language_identification_spark.streaming.quality_stream import (
+    windowed_quality_metrics,
+)
+
+
+def test_cavnar_dunning_udf_parity(spark, pages_pdf):
+    """Predict parity for the two literature models (SURVEY §5.2.1 — the
+    other three families are covered in test_models_parity)."""
+    pdf = pages_pdf[["text", "lang", "split"]].copy()
+    pdf["text"] = pdf["text"].str.strip()
+    pdf = pdf[pdf["text"].str.len() > 0].reset_index(drop=True)
+    pdf["doc_idx"] = range(len(pdf))
+    train = pdf[pdf["split"] == "train"]
+    test = pdf[pdf["split"] == "test"].head(60)  # CT scoring is O(profile²)
+    df = spark.createDataFrame(test[["doc_idx", "text"]])
+
+    ct = ref.CavnarTrenkle()
+    ct.train(train["text"].tolist(), train["lang"].tolist())
+    udf = sc.make_cavnar_trenkle_predict_udf(spark, ct.language_profiles)
+    got = {r["doc_idx"]: r["p"] for r in df.select("doc_idx", udf("text").alias("p")).collect()}
+    want = dict(zip(test["doc_idx"], ct.predict(test["text"].tolist())))
+    assert got == want
+
+    dn = ref.Dunning()
+    dn.train(train["text"].tolist(), train["lang"].tolist())
+    udf = sc.make_dunning_predict_udf(spark, dn.language_models)
+    got = {r["doc_idx"]: r["p"] for r in df.select("doc_idx", udf("text").alias("p")).collect()}
+    want = dict(zip(test["doc_idx"], dn.predict(test["text"].tolist())))
+    assert got == want
+
+
+def test_write_bucketed_partition_pruning(spark, pages_df, tmp_path):
+    loc = str(tmp_path)
+    write_bucketed(pages_df.select("url", "text", "lang"), loc, "pages_b", n_buckets=8)
+    back = spark.read.parquet(f"{loc}/pages_b")
+    assert back.count() == pages_df.count()
+    assert "bucket" in back.columns
+    one = back.filter(F.col("bucket") == 3)
+    # partition pruning: the bucket predicate must land in PartitionFilters
+    from language_identification_spark.plans.asserts import explain_str
+
+    plan = explain_str(one)
+    assert "PartitionFilters" in plan and "(bucket" in plan.split("PartitionFilters", 1)[1][:120], plan
+    assert one.count() > 0
+
+
+def test_iceberg_probe_is_false_here(spark):
+    # sandbox has no Iceberg jars; the catalog must fall back, not throw
+    assert iceberg_available(spark) is False
+
+
+def test_streaming_windowed_metrics(spark, pages_df, tmp_path):
+    from language_identification_spark.pipeline.quality import train_quality_models
+    from language_identification_spark.streaming.quality_stream import (
+        quality_stream,
+        read_pages_stream,
+    )
+
+    src = str(tmp_path / "src")
+    pages_df.repartition(4).write.parquet(src)
+    models = train_quality_models(pages_df.filter("split = 'train'"))
+    metrics = windowed_quality_metrics(
+        quality_stream(spark, read_pages_stream(spark, src), models)
+    )
+    q = (
+        metrics.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_metrics")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_metrics").collect()
+    assert rows, "watermark-closed windows should have emitted"
+    total = sum(r["n_docs"] for r in rows)
+    assert total > 0
+    assert all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)
