@@ -1,0 +1,46 @@
+"""MLlib classical-ML family (reference src/models/classical_ml.py, A13).
+
+Parity with the reference is accuracy-level (vocab tie-breaking and idf
+formula differ between sklearn and MLlib — documented in the module); the
+reference publishes 0.97-0.99 on its corpus, we require ≥ 0.95 on the
+separable synthetic corpus for the two fast families.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.models.classical_ml import (
+    MODEL_CONFIGS,
+    predict_classical,
+    train_classical,
+)
+
+
+@pytest.fixture(scope="module")
+def split_dfs(spark, pages_pdf):
+    pdf = pages_pdf[["text", "lang", "split"]].copy()
+    pdf["text"] = pdf["text"].str.strip()
+    pdf = pdf[pdf["text"].str.len() > 0]
+    df = spark.createDataFrame(pdf)
+    return df.filter("split = 'train'"), df.filter("split = 'test'")
+
+
+@pytest.mark.parametrize("model_name", ["nb_tfidf", "nb_bigram", "lr_tfidf"])
+def test_classical_accuracy(split_dfs, model_name):
+    train, test = split_dfs
+    model = train_classical(train, model_name, vocab_size=20000)
+    pred = predict_classical(model, test)
+    acc = pred.select(
+        F.avg((F.col("lang") == F.col("lang_pred")).cast("double")).alias("a")
+    ).first()["a"]
+    assert acc >= 0.95, (model_name, acc)
+    assert set(pred.columns) >= {"text", "lang", "lang_pred"}
+
+
+def test_all_configs_build():
+    from language_identification_spark.models.classical_ml import build_pipeline
+
+    for name in MODEL_CONFIGS:
+        build_pipeline(name)
