@@ -278,6 +278,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
 
+    def events_quantiles(spark, sf):
+        # exact interpolated percentiles (identical math in both engines)
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count("*").alias("n"),
+        )
+
+    def lineitem_rollup(spark, sf):
+        # ROLLUP over (returnflag, linestatus) — grouping-set operator
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "n",
+                "sum_qty",
+            )
+        )
+
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -466,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "embedding_near_dups": embedding_near_dups,
         "events_daily": events_daily,
+        "events_quantiles": events_quantiles,
+        "lineitem_rollup": lineitem_rollup,
         "tpch_q1": tpch_q1,
         "revenue_join": revenue_join,
         "minhash_near_dups": minhash_near_dups,
@@ -863,6 +888,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                  count(*) AS n, round(sum(value), 6) AS sum_value
           FROM events GROUP BY 1, 2
+        """,
+        "events_quantiles": """
+          SELECT event_type,
+                 round(quantile_cont(value, 0.5), 6) AS p50,
+                 round(quantile_cont(value, 0.95), 6) AS p95,
+                 count(*) AS n
+          FROM events GROUP BY event_type
+        """,
+        "lineitem_rollup": """
+          SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 count(*) AS n,
+                 round(sum(l_quantity), 4) AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,
