@@ -422,12 +422,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # Exact integer microseconds on BOTH engines (unix_micros here,
+        # epoch_us in the twin) — unix_timestamp() truncates to whole
+        # seconds and disagreed with the oracle on boundary-straddling gaps.
+        epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
         gaps = ev.select(
             "user_id",
             "ts",
             (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
+                epoch_us - F.lag(epoch_us).over(w) > 1800 * 1_000_000
             ).cast("int").alias("new_sess"),
         )
         return gaps.groupBy("user_id").agg(
@@ -830,8 +833,8 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": """
           WITH gaps AS (
             SELECT user_id,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
           )
