@@ -453,6 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.lsh_topk(e, [0, 1, 2], k=5, n_planes=6)
 
     def media_features(spark, sf):
+        # Long form (media_id, kind, dim_idx, value_milli, n_bytes): scalar
+        # columns the gate can canonicalize (array<float> broke the r1
+        # harness), integer-exact values (float32 k/1000 ×1000 rounds back
+        # to k), and a sha256-arithmetic DuckDB twin.
         from language_identification_spark.operators.multimodal import (
             attach_media_metadata,
             extract_media_features,
@@ -460,9 +464,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
         media = attach_media_metadata(
-            d.select(F.encode("text", "utf-8").alias("html"))
+            d.select("doc_id", F.encode("text", "utf-8").alias("html")),
+            id_col="doc_id",
         )
-        return extract_media_features(media)
+        feats = extract_media_features(media)
+        return feats.select(
+            "media_id",
+            "kind",
+            F.posexplode("feature").alias("dim_idx", "val"),
+            "n_bytes",
+        ).select(
+            "media_id",
+            "kind",
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.round(F.col("val") * 1000).cast("int").alias("value_milli"),
+            "n_bytes",
+        )
 
     return {
         "norm_filter": norm_filter,
@@ -506,6 +523,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle_sql — DuckDB twins (same column names, same rounding)
 # ---------------------------------------------------------------------------
+
+# FNV-1a fold over codepoint expressions, mod-2^64 arithmetic in HUGEINT
+# (xor needs UBIGINT; the multiply needs HUGEINT headroom: 2^64·2^41 ≪ 2^127).
+# Mirrors operators/dedup.simhash_64's vectorized fold bit-for-bit.
+def _duck_fnv(*cp_exprs: str) -> str:
+    h = "14695981039346656037::HUGEINT"  # FNV_OFFSET
+    for c in cp_exprs:
+        h = (
+            f"((xor(({h})::UBIGINT, ({c})::UBIGINT)::HUGEINT"
+            f" * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+        )
+    return h
+
 
 # n-gram expansion macro: positions 1..len(padded)-n+1 via lateral unnest.
 def _duck_ngrams(inner: str, text_expr: str, n: int) -> str:
@@ -925,7 +955,52 @@ def oracle_sql() -> dict[str, str]:
           JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment
         """,
-        # minhash_near_dups / simhash_sigs / ann_lsh_topk / media_features:
-        # intentionally omitted (hash-function/UDF internals are not
-        # SQL-expressible) → driver records rows-only checks.
+        "media_features": """
+          WITH sub AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id < 100
+          ),
+          h AS (SELECT media_id, n_bytes, sha256(text) AS hx FROM sub)
+          -- _fake_decode (operators/multimodal.py): the 32-byte sha256
+          -- digest tiled to 64 bytes, read as 16 little-endian uint32,
+          -- % 1000. Hex digit pair 2j+1 is byte j; offsets (4i+t) mod 32.
+          SELECT media_id, 'image' AS kind, i.i::INT AS dim_idx,
+                 ((('0x' || substr(hx, ((4 * i.i) % 32) * 2 + 1, 2))::UBIGINT
+                   + ('0x' || substr(hx, ((4 * i.i + 1) % 32) * 2 + 1, 2))::UBIGINT * 256
+                   + ('0x' || substr(hx, ((4 * i.i + 2) % 32) * 2 + 1, 2))::UBIGINT * 65536
+                   + ('0x' || substr(hx, ((4 * i.i + 3) % 32) * 2 + 1, 2))::UBIGINT * 16777216
+                  ) % 1000)::INT AS value_milli,
+                 n_bytes
+          FROM h, LATERAL unnest(range(0, 16)) AS i(i)
+        """,
+        "simhash_sigs": f"""
+          WITH sub AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 200),
+          grams AS (
+            SELECT s.id,
+                   {_duck_fnv(
+                       "unicode(substr(s.text, t.i::INT, 1))",
+                       "unicode(substr(s.text, t.i::INT + 1, 1))",
+                       "unicode(substr(s.text, t.i::INT + 2, 1))",
+                   )} AS h
+            FROM sub s, LATERAL unnest(range(1, len(s.text) - 1)) AS t(i)
+          ),
+          bitsum AS (
+            SELECT g.id, b.b::INT AS bit,
+                   sum(CASE WHEN ((g.h::UBIGINT >> b.b::INT) & 1) = 1
+                       THEN 1 ELSE -1 END) AS acc
+            FROM grams g, LATERAL unnest(range(0, 64)) AS b(b)
+            GROUP BY 1, 2
+          ),
+          sigs AS (
+            SELECT id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << bit)
+                           ELSE 0::HUGEINT END) AS u
+            FROM bitsum GROUP BY id
+          )
+          SELECT s.id,
+                 coalesce(CASE WHEN g.u >= 9223372036854775808::HUGEINT
+                               THEN (g.u - 18446744073709551616::HUGEINT)::BIGINT
+                               ELSE g.u::BIGINT END, 0) AS simhash
+          FROM sub s LEFT JOIN sigs g ON s.id = g.id
+        """,
     }

@@ -213,37 +213,47 @@ def minhash_near_duplicates(
     return verified.join(cand, ["id_a", "id_b"], "left_semi")
 
 
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+
+
 def simhash_64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, simhash BIGINT) — 64-bit simhash over char n-gram multiset.
+    """(id, simhash BIGINT) — 64-bit simhash over the char n-gram multiset.
 
-    Vectorized pandas UDF: per doc, accumulate ±1 per bit over FNV-hashed
-    shingles, sign → bits. numpy does the bit unpacking for the whole
-    batch; no per-bit Python loops.
+    Fully vectorized pandas UDF (same pattern as hashed_ngram's featurizer):
+    the text becomes a codepoint array (utf-32-le reinterpret); the FNV-1a
+    fold runs as n whole-array xor-multiply rounds over shifted views (one
+    uint64 op per round, wraparound multiply = mod 2^64); bit unpack /
+    accumulate / sign are single numpy broadcasts. No per-gram Python.
+
+    Hashing over CODEPOINTS (not utf-8 bytes) keeps the fold length fixed
+    at n rounds and makes the function expressible in the DuckDB oracle
+    (xor + HUGEINT multiply mod 2^64 over unicode() values — see
+    __spark_entry__.oracle_sql()["simhash_sigs"]). len(text) < n → 0.
     """
-    FNV_OFFSET, FNV_PRIME, MASK = 0xCBF29CE484222325, 0x100000001B3, (1 << 64) - 1
     shifts = np.arange(64, dtype=np.uint64)
+    off = np.uint64(FNV_OFFSET)
+    prime = np.uint64(FNV_PRIME)
 
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        cache: dict[str, np.ndarray] = {}
-        for r, t in enumerate(texts):
-            t = t if isinstance(t, str) else ""
-            acc = np.zeros(64, dtype=np.int64)
-            for i in range(max(len(t) - n + 1, 0)):
-                g = t[i : i + n]
-                bits = cache.get(g)
-                if bits is None:
-                    h = FNV_OFFSET
-                    for byt in g.encode("utf-8"):
-                        h = ((h ^ byt) * FNV_PRIME) & MASK
-                    bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
-                    cache[g] = bits
-                acc += 2 * bits - 1
-            sig = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-            out[r] = sig.astype(np.int64)
+        with np.errstate(over="ignore"):
+            for r, t in enumerate(texts):
+                t = t if isinstance(t, str) else ""
+                if len(t) < n:
+                    continue
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+                n_grams = len(cp) - n + 1
+                h = np.full(n_grams, off, dtype=np.uint64)
+                for k in range(n):
+                    h = (h ^ cp[k : k + n_grams]) * prime
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                acc = bits.sum(axis=0) * 2 - n_grams  # Σ(2b-1) = 2Σb - G
+                sig = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                out[r] = sig.astype(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))

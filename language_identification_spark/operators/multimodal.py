@@ -32,11 +32,22 @@ MEDIA_SCHEMA = (
 )
 
 
-def attach_media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "html", id_col: str | None = None
+) -> DataFrame:
     """Treat an existing binary column as media payload + typed metadata.
-    (In production the metadata comes from the WARC/Iceberg table.)"""
+    (In production the metadata comes from the WARC/Iceberg table.)
+
+    ``id_col`` carries an existing id through as ``media_id``; without one,
+    a content hash is derived (fine operationally, but content-addressed
+    ids collide for byte-identical payloads and xxhash64 has no DuckDB
+    twin — the correctness gate passes ``doc_id`` through).
+    """
+    media_id = (
+        F.col(id_col).cast("long") if id_col is not None else F.xxhash64(payload_col)
+    )
     return df.select(
-        F.xxhash64(payload_col).alias("media_id"),
+        media_id.alias("media_id"),
         F.lit("image").alias("kind"),
         F.col(payload_col).alias("payload"),
         (F.length(payload_col) % 1024 + 1).cast("int").alias("width"),
