@@ -262,9 +262,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs.filter(F.col("cosine") >= 0.4)
 
     def embedding_near_dups(spark, sf):
-        # hyperplane-LSH bucketed near-dup (scale path; rows-only check)
-        e = _t(spark, sf, "embeddings")
-        return dedup.embedding_near_duplicates(e, threshold=0.5).select(
+        # hyperplane-LSH bucketed near-dup (the scale path). Near-parallel
+        # copies (×1.01) are planted so the result is non-vacuous, and the
+        # integer-exact bucket function (similarity.hyperplane_bucket_udf)
+        # is recomputed verbatim by the DuckDB twin → FULL value gate.
+        e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        pert = e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.01)).cast("float")
+            ).alias("embedding"),
+        )
+        aug = e.unionAll(pert)
+        return dedup.embedding_near_duplicates(aug, threshold=0.95).select(
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
 
@@ -438,10 +448,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_events"),
         )
 
-    # --- rows-only checks (not SQL-expressible: hashing/UDF internals) ---
     def minhash_near_dups(spark, sf):
-        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
-        out = dedup.minhash_near_duplicates(d, n=8, threshold=0.8)
+        # Planted near-dups (text ⊕ ' zz', jaccard ≥ 0.93 on this data) so
+        # the gate is non-vacuous. With 64 hashes × 16 bands the per-pair
+        # LSH miss probability at j=0.93 is ~3e-10, so the output equals
+        # the exact-Jaccard pair set and the exact SQL twin is a FULL gate.
+        d = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+        )
+        pert = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        out = dedup.minhash_near_duplicates(d.unionAll(pert), n=8, threshold=0.8)
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
     def simhash_sigs(spark, sf):
@@ -449,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_64(d)
 
     def ann_lsh_topk(spark, sf):
+        # Bucket + multi-probe are integer-exact → full gate (twin below).
         e = _t(spark, sf, "embeddings")
         return similarity.lsh_topk(e, [0, 1, 2], k=5, n_planes=6)
 
@@ -535,6 +557,44 @@ def _duck_fnv(*cp_exprs: str) -> str:
             f" * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
         )
     return h
+
+
+# Hyperplane-LSH bucket CTEs over a CTE named ``src`` with (vec_id,
+# embedding). The ±1 plane matrix is a tiny Python-side constant shared
+# verbatim with similarity.hyperplane_bucket_udf (inlined as VALUES), and
+# the dot products run on 1e-6-quantized integer components — bit-exact
+# across engines by construction.
+def _duck_bucket_ctes(n_planes: int, seed: int = 7, dim: int = 64) -> str:
+    from language_identification_spark.operators.similarity import plane_signs
+
+    mat = plane_signs(n_planes, dim, seed)
+    vals = ", ".join(
+        f"({p},{d},{int(mat[p, d])})" for p in range(n_planes) for d in range(dim)
+    )
+    return f"""
+      planes AS (SELECT * FROM (VALUES {vals}) pl(p, d, s)),
+      comps AS (
+        SELECT a.vec_id, i.i::INT AS d,
+               floor(a.embedding[i.i + 1]::DOUBLE * 1000000 + 0.5)::BIGINT AS q
+        FROM src a, LATERAL unnest(range(0, len(a.embedding))) AS i(i)
+      ),
+      dots AS (
+        SELECT c.vec_id, pl.p, sum(c.q * pl.s) AS dot
+        FROM comps c JOIN planes pl ON pl.d = c.d
+        GROUP BY 1, 2
+      ),
+      buckets AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+        FROM dots GROUP BY vec_id
+      )
+    """
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
 
 
 # n-gram expansion macro: positions 1..len(padded)-n+1 via lateral unnest.
@@ -954,6 +1014,81 @@ def oracle_sql() -> dict[str, str]:
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment
+        """,
+        "embedding_near_dups": f"""
+          WITH src AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(embedding, x -> (x * 1.01)::FLOAT)
+            FROM embeddings
+          ),
+          {_duck_bucket_ctes(n_planes=16, seed=7)},
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM src),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_DUCK_COS.format(a="va.ve", b="vb.ve")} AS cos
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+          )
+          SELECT id_a, id_b, round(cos, 6) AS cosine
+          FROM pairs WHERE cos >= 0.95
+        """,
+        "minhash_near_dups": """
+          WITH aug AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 10000, text || ' zz'
+            FROM documents WHERE doc_id % 5 = 0
+          ),
+          sh AS (
+            SELECT DISTINCT s.doc_id AS id, substr(s.text, t.i::INT, 8) AS shingle
+            FROM aug s, LATERAL unnest(range(1, len(s.text) - 7 + 1)) AS t(i)
+          ),
+          sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+          )
+          SELECT i.id_a, i.id_b,
+                 round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+          FROM inter i
+          JOIN sz sa ON sa.id = i.id_a
+          JOIN sz sb ON sb.id = i.id_b
+          WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.8
+        """,
+        "ann_lsh_topk": f"""
+          WITH src AS (SELECT vec_id, embedding FROM embeddings),
+          {_duck_bucket_ctes(n_planes=6, seed=7)},
+          q AS (
+            SELECT vec_id AS query_id, bucket AS qbucket
+            FROM buckets WHERE vec_id IN (0, 1, 2)
+          ),
+          probes AS (
+            SELECT query_id, xor(qbucket, m.m::BIGINT) AS pbucket
+            FROM q, (VALUES (0), (1), (2), (4), (8), (16), (32)) m(m)
+          ),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+          cand AS (
+            SELECT p.query_id, b.vec_id AS neighbor_id
+            FROM probes p JOIN buckets b ON b.bucket = p.pbucket
+            WHERE b.vec_id != p.query_id
+          ),
+          scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {_DUCK_COS.format(a="qv.ve", b="nv.ve")} AS cos
+            FROM cand c
+            JOIN v qv ON qv.vec_id = c.query_id
+            JOIN v nv ON nv.vec_id = c.neighbor_id
+          )
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rk
+            FROM scored
+          ) WHERE rk <= 5
         """,
         "media_features": """
           WITH sub AS (

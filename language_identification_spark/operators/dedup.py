@@ -97,6 +97,47 @@ def jaccard_similar_pairs(
     )
 
 
+def _bucket_self_join(
+    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from a (id, *key_cols) bucket
+    table, with a hot-bucket guard.
+
+    Buckets ≤ ``max_bucket`` do the normal within-bucket all-pairs join.
+    Oversized buckets (boilerplate floods: at web scale a near-identical
+    template can put millions of ids in one bucket, and all-pairs is O(k²))
+    instead emit STAR pairs (bucket-min id ↔ every other member): O(k)
+    pairs that still link every member to a canonical representative, which
+    is what dedup grouping consumes; the exact-similarity verify stage
+    filters them like any other candidate. ``max_bucket=None`` disables the
+    guard (exact all-pairs semantics).
+    """
+    from pyspark.sql import Window
+
+    if max_bucket is not None:
+        w = Window.partitionBy(*key_cols)
+        sized = banded.withColumn("_bsz", F.count("*").over(w)).withColumn(
+            "_bmin", F.min("id").over(w)
+        )
+        small = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_bmin")
+        star = (
+            sized.filter((F.col("_bsz") > max_bucket) & (F.col("id") != F.col("_bmin")))
+            .select(F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    if star is not None:
+        pairs = pairs.unionAll(star)
+    return pairs.distinct()
+
+
 def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, MERSENNE31, size=n_hashes, dtype=np.int64)
@@ -144,10 +185,15 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, n_hashes: int = 64
+    sigs: DataFrame,
+    bands: int = 16,
+    n_hashes: int = 64,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equal band-hash in ≥1 of ``bands``
-    bands. Shuffle key = (band_idx, band_hash) — collision buckets only."""
+    bands. Shuffle key = (band_idx, band_hash) — collision buckets only;
+    buckets over ``max_bucket`` fall back to star pairs (see
+    ``_bucket_self_join``)."""
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -171,17 +217,7 @@ def minhash_lsh_candidates(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_self_join(banded, ["band", "bh"], max_bucket)
 
 
 def minhash_near_duplicates(
@@ -193,6 +229,7 @@ def minhash_near_duplicates(
     n_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -202,7 +239,7 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
     # Candidates feed three consumers (two id projections + the final
     # semi-join); persist so the signature+self-join lineage runs once.
-    cand = minhash_lsh_candidates(sigs, bands, n_hashes).persist()
+    cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket).persist()
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -259,7 +296,9 @@ def simhash_64(
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
 
 
-def simhash_candidates(sim: DataFrame, bands: int = 4) -> DataFrame:
+def simhash_candidates(
+    sim: DataFrame, bands: int = 4, max_bucket: int | None = 10_000
+) -> DataFrame:
     """Hamming-≤(bands-1) candidates: equal 16-bit chunk in ≥1 band."""
     width = 64 // bands
     mask = (1 << width) - 1
@@ -279,17 +318,7 @@ def simhash_candidates(sim: DataFrame, bands: int = 4) -> DataFrame:
             )
         ).alias("e"),
     ).select("id", "e.band", "e.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_self_join(banded, ["band", "chunk"], max_bucket)
 
 
 def embedding_near_duplicates(
@@ -299,22 +328,25 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 7,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) with cosine ≥ threshold, via random-hyperplane
-    LSH bucketing + exact re-check inside buckets (numpy, Arrow-batched)."""
-    from .similarity import hyperplane_bucket_udf, cosine_expr
+    """(id_a, id_b, cosine) with cosine ≥ threshold, via hyperplane-LSH
+    bucketing (integer-exact sign projections — see
+    similarity.hyperplane_bucket_udf) + exact cosine re-check on candidate
+    pairs only. Oversized buckets fall back to star pairs."""
+    from .similarity import cosine_expr, hyperplane_bucket_udf
 
     bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed, dim=None)
     with_b = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
-    a, b = with_b.alias("a"), with_b.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    cand = _bucket_self_join(with_b, ["bucket"], max_bucket)
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
     )
-    return pairs.filter(F.col("cosine") >= threshold).distinct()
+    return pairs.filter(F.col("cosine") >= threshold)

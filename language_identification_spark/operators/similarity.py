@@ -58,30 +58,59 @@ def brute_force_topk(
     )
 
 
-def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+# Quantization grid for bucket hashing: 1e-6 of a unit component. Signs of
+# the plane dot products are then EXACT integer arithmetic — reproducible
+# across engines (no float summation-order hazard) and checkable in SQL.
+BUCKET_QUANT = 1_000_000
+
+
+def plane_signs(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """±1 (Rademacher) hyperplane matrix — the sign-random-projection LSH
+    family (same angle-preserving guarantee class as Gaussian planes). A
+    tiny constant shared verbatim by the Spark UDF and the DuckDB oracle."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    return (rng.randint(0, 2, size=(n_planes, dim)) * 2 - 1).astype(np.int64)
+
+
+def quantize_components(mat: np.ndarray) -> np.ndarray:
+    """float components → int64 grid: floor(x·1e6 + 0.5). floor(+0.5) (not
+    rint/round) because it is identically defined in numpy and SQL for
+    halfway values and negatives."""
+    return np.floor(mat.astype(np.float64) * BUCKET_QUANT + 0.5).astype(np.int64)
 
 
 def hyperplane_bucket_udf(n_planes: int = 16, seed: int = 7, dim: int | None = None):
-    """Pandas UDF: embedding → int bucket (sign pattern over random planes).
+    """Pandas UDF: embedding → int bucket (sign pattern over ±1 planes on
+    quantized integer components; bit p set iff dot ≥ 0).
 
     The plane matrix is derived from the seed inside the worker — tiny,
-    deterministic, no broadcast needed.
+    deterministic, no broadcast needed. Integer end-to-end, so
+    __spark_entry__'s DuckDB twins recompute identical buckets.
     """
     state: dict = {}
 
     @F.pandas_udf("long")
     def bucket(vs: pd.Series) -> pd.Series:
         mat = np.stack(vs.to_numpy())
-        d = mat.shape[1]
         if "p" not in state:
-            state["p"] = _planes(n_planes, d, seed)
-        signs = (mat.astype(np.float64) @ state["p"].T) > 0
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.Series(signs.astype(np.int64) @ weights)
+            state["p"] = plane_signs(n_planes, mat.shape[1], seed)
+        dots = quantize_components(mat) @ state["p"].T  # (N, P) exact int64
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((dots >= 0).astype(np.int64) @ weights)
 
     return bucket
+
+
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """All XOR masks within Hamming distance ``probe_bits`` of a bucket
+    (mask 0 = the exact bucket), in deterministic order."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << i for i in combo))
+    return masks
 
 
 def lsh_topk(
@@ -98,7 +127,8 @@ def lsh_topk(
     or (multi-probe) a bucket within Hamming distance ``probe_bits``.
 
     At scale the corpus is written bucketed/partitioned by this key, so a
-    query probes 1 + n_planes partitions instead of the full table.
+    query probes Σ C(n_planes, r≤probe_bits) partitions instead of the
+    full table.
     """
     bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
     with_b = emb.withColumn("bucket", bucket(F.col(vec_col)))
@@ -107,15 +137,14 @@ def lsh_topk(
         F.col(vec_col).alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    # Multi-probe: explode the query row into its probe buckets (the exact
-    # bucket plus every single-bit flip) — broadcast side stays tiny.
+    # Multi-probe: explode the query row into every bucket within Hamming
+    # distance probe_bits — broadcast side stays tiny.
     if probe_bits >= 1:
         probes = F.array(
-            F.col("qbucket"),
             *[
-                F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(n_planes)
-            ],
+                F.col("qbucket").bitwiseXOR(F.lit(m))
+                for m in probe_masks(n_planes, probe_bits)
+            ]
         )
         q = q.select(
             "query_id", "qv", F.explode(probes).alias("qbucket")

@@ -54,6 +54,28 @@ def test_minhash_lsh_finds_planted_dups(dup_docs):
     assert (0, 3) in got  # near dup found by LSH then verified
 
 
+def test_hot_bucket_guard(spark):
+    """A boilerplate flood (1k identical docs) must not explode into O(k²)
+    candidate pairs: oversized buckets emit star pairs (canonical ↔ member)
+    and every member still verifies as a duplicate of the canonical."""
+    rows = [(i, "identical boilerplate page body repeated everywhere") for i in range(1000)]
+    rows += [(2000, "one unrelated document with different words entirely")]
+    flood = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(flood)
+    cand = dedup.minhash_lsh_candidates(sigs, max_bucket=100)
+    pairs = cand.collect()
+    # star fallback: O(k), not k·(k-1)/2 ≈ 500k
+    assert len(pairs) == 999
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, i) for i in range(1, 1000)}
+    # end-to-end: verify stage keeps them (jaccard 1.0 ≥ threshold)
+    out = dedup.minhash_near_duplicates(flood, threshold=0.9, max_bucket=100)
+    assert out.count() == 999
+    # guard off → exact all-pairs semantics on a small bucket
+    small = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    ssigs = dedup.minhash_signatures(small)
+    assert dedup.minhash_lsh_candidates(ssigs, max_bucket=None).count() == 3
+
+
 def test_minhash_agrees_with_exact_jaccard(dup_docs):
     """No false positives: every LSH-verified pair is an exact-Jaccard pair."""
     lsh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_near_duplicates(dup_docs, threshold=0.5).collect()}
