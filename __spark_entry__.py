@@ -384,6 +384,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("min_by(lang, struct(-score, lang))").alias("lang_pred")
         )
 
+    def markov_predict(spark, sf):
+        # J2 serving semantics (reference statistical_models.py:131-147):
+        # Σ log(prob + s) over transition OCCURRENCES present in the lang
+        # model; langs with no matched transition score 0 (the reference
+        # quirk — an unmatched lang can win over all-negative log sums).
+        d = _t(spark, sf, "documents")
+        from language_identification_spark.models.train import train_markov
+
+        model = train_markov(d)
+        sub = d.filter(F.col("doc_id") < 300)
+        padded = F.concat(F.lit("_"), F.col("text"), F.lit("_"))
+        bg = sub.select(
+            "doc_id",
+            F.explode(char_ngrams(padded, 2, reference_pad=False)).alias("bg"),
+        ).select(
+            "doc_id",
+            F.substring("bg", 1, 1).alias("cur"),
+            F.substring("bg", 2, 1).alias("nxt"),
+        )
+        tf = bg.groupBy("doc_id", "cur", "nxt").agg(F.count("*").alias("tf"))
+        matched = (
+            tf.join(F.broadcast(model), ["cur", "nxt"])
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.round(
+                    F.sum(F.col("tf") * F.log(F.col("prob") + F.lit(1e-10))), 6
+                ).alias("score")
+            )
+        )
+        langs = d.select("lang").distinct()
+        grid = sub.select("doc_id").crossJoin(F.broadcast(langs))
+        full = grid.join(matched, ["doc_id", "lang"], "left").na.fill({"score": 0.0})
+        return full.groupBy("doc_id").agg(
+            F.expr("min_by(lang, struct(-score, lang))").alias("lang_pred")
+        )
+
+    def char_freq_predict(spark, sf):
+        # J3 serving semantics (reference statistical_models.py:76-99):
+        # cosine of the doc's smoothed char profile vs each lang profile,
+        # sim = Σ_common p_doc·p_lang / (‖p_doc‖·‖p_lang‖ + s). Both
+        # profiles carry the defaultdict quirk (+s per seen key).
+        from pyspark.sql import Window
+
+        d = _t(spark, sf, "documents")
+        from language_identification_spark.models.train import train_char_freq
+
+        model = train_char_freq(d)
+        lnorm = model.groupBy("lang").agg(
+            F.sqrt(F.sum(F.col("prob") * F.col("prob"))).alias("lnorm")
+        )
+        sub = d.filter(F.col("doc_id") < 300)
+        chars = sub.select(
+            "doc_id",
+            F.explode(
+                char_ngrams(F.lower(F.col("text")), 1, reference_pad=False)
+            ).alias("char"),
+        )
+        cnts = chars.groupBy("doc_id", "char").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("doc_id")
+        total = F.sum("cnt").over(w) + F.lit(1e-10) * F.count("*").over(w)
+        dprof = cnts.select(
+            "doc_id", "char", ((F.col("cnt") + F.lit(1e-10)) / total).alias("p")
+        )
+        dnorm = dprof.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("dnorm")
+        )
+        num = (
+            dprof.join(F.broadcast(model), "char")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum(F.col("p") * F.col("prob")).alias("num"))
+        )
+        langs = d.select("lang").distinct()
+        scored = (
+            dnorm.crossJoin(F.broadcast(langs))
+            .join(F.broadcast(lnorm), "lang")
+            .join(num, ["doc_id", "lang"], "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.round(
+                    F.coalesce(F.col("num"), F.lit(0.0))
+                    / (F.col("dnorm") * F.col("lnorm") + F.lit(1e-10)),
+                    6,
+                ).alias("sim"),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.expr("min_by(lang, struct(-sim, lang))").alias("lang_pred")
+        )
+
     def tfidf_top_terms(spark, sf):
         # A13: sklearn-style smoothed idf over char bigrams, top-5 per doc
         d = _t(spark, sf, "documents")
@@ -522,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "cavnar_profile": cavnar_profile,
         "dunning_predict": dunning_predict,
+        "markov_predict": markov_predict,
+        "char_freq_predict": char_freq_predict,
         "tfidf_top_terms": tfidf_top_terms,
         "dunning_top_features": dunning_top_features,
         "user_sessions": user_sessions,
@@ -870,6 +962,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY score DESC, lang ASC) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        """,
+        "markov_predict": """
+          WITH bg AS (
+            SELECT s.lang, substr(s.p, t.i::INT, 1) AS cur,
+                   substr(s.p, t.i::INT + 1, 1) AS nxt
+            FROM (SELECT lang, '_' || text || '_' AS p FROM documents) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          counts AS (SELECT lang, cur, nxt, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+          model AS (
+            SELECT lang, cur, nxt,
+                   (cnt + 1e-10) /
+                   (sum(cnt) OVER (PARTITION BY lang, cur)
+                    + 1e-10 * count(*) OVER (PARTITION BY lang, cur)) AS prob
+            FROM counts
+          ),
+          dbg AS (
+            SELECT s.doc_id, substr(s.p, t.i::INT, 1) AS cur,
+                   substr(s.p, t.i::INT + 1, 1) AS nxt
+            FROM (SELECT doc_id, '_' || text || '_' AS p
+                  FROM documents WHERE doc_id < 300) s,
+                 LATERAL unnest(range(1, len(s.p))) AS t(i)
+          ),
+          tf AS (SELECT doc_id, cur, nxt, count(*) AS tf FROM dbg GROUP BY 1, 2, 3),
+          matched AS (
+            SELECT t.doc_id, m.lang,
+                   round(sum(t.tf * ln(m.prob + 1e-10)), 6) AS score
+            FROM tf t JOIN model m ON m.cur = t.cur AND m.nxt = t.nxt
+            GROUP BY 1, 2
+          ),
+          langs AS (SELECT DISTINCT lang FROM documents),
+          scored AS (
+            SELECT d.doc_id, l.lang, coalesce(m.score, 0.0) AS score
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            CROSS JOIN langs l
+            LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = l.lang
+          )
+          SELECT doc_id, lang AS lang_pred FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang ASC) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        """,
+        "char_freq_predict": """
+          WITH chars AS (
+            SELECT lang, unnest(string_split(lower(text), '')) AS ch FROM documents
+          ),
+          counts AS (SELECT lang, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+          model AS (
+            SELECT lang, ch,
+                   (cnt + 1e-10) /
+                   (sum(cnt) OVER (PARTITION BY lang)
+                    + 1e-10 * count(*) OVER (PARTITION BY lang)) AS prob
+            FROM counts
+          ),
+          lnorm AS (SELECT lang, sqrt(sum(prob * prob)) AS lnorm FROM model GROUP BY lang),
+          dchars AS (
+            SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+            FROM documents WHERE doc_id < 300
+          ),
+          dcounts AS (SELECT doc_id, ch, count(*) AS cnt FROM dchars GROUP BY 1, 2),
+          dprof AS (
+            SELECT doc_id, ch,
+                   (cnt + 1e-10) /
+                   (sum(cnt) OVER (PARTITION BY doc_id)
+                    + 1e-10 * count(*) OVER (PARTITION BY doc_id)) AS p
+            FROM dcounts
+          ),
+          dnorm AS (SELECT doc_id, sqrt(sum(p * p)) AS dnorm FROM dprof GROUP BY doc_id),
+          num AS (
+            SELECT d.doc_id, m.lang, sum(d.p * m.prob) AS num
+            FROM dprof d JOIN model m ON m.ch = d.ch GROUP BY 1, 2
+          ),
+          langs AS (SELECT DISTINCT lang FROM documents),
+          scored AS (
+            SELECT dn.doc_id, l.lang,
+                   round(coalesce(n.num, 0) /
+                         (dn.dnorm * ln2.lnorm + 1e-10), 6) AS sim
+            FROM dnorm dn CROSS JOIN langs l
+            JOIN lnorm ln2 ON ln2.lang = l.lang
+            LEFT JOIN num n ON n.doc_id = dn.doc_id AND n.lang = l.lang
+          )
+          SELECT doc_id, lang AS lang_pred FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY sim DESC, lang ASC) AS rn
             FROM scored
           ) WHERE rn = 1
         """,

@@ -142,6 +142,34 @@ def test_relational_ngram_scorer_matches_oracle(spark, corpus_df, train_pdf, tes
     assert diff <= max(1, len(want) // 200), f"{diff}/{len(want)} mismatches"
 
 
+def test_relational_predict_gates_match_udfs(spark, sf_dir):
+    """The markov_predict / char_freq_predict contract queries (relational
+    J2/J3 serving, DuckDB-gated) must agree with the parity-tested UDF
+    scorers on the driver testdata. Scores are rounded to 6 decimals before
+    the argmax in the relational form, so allow ≤0.5% tie-flip drift."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = docs.filter(F.col("doc_id") < 300)
+
+    mk_dict = tr.model_table_to_dict(tr.train_markov(docs), "markov")
+    udf = sc.make_markov_predict_udf(spark, mk_dict, 1e-10)
+    want = {r["doc_id"]: r["p"] for r in sub.select("doc_id", udf(F.col("text")).alias("p")).collect()}
+    got = {r["doc_id"]: r["lang_pred"] for r in qs["markov_predict"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    diff = sum(1 for k in want if got[k] != want[k])
+    assert diff <= max(1, len(want) // 200), f"{diff}/{len(want)}"
+
+    cf_dict = tr.model_table_to_dict(tr.train_char_freq(docs), "char_freq")
+    udf = sc.make_char_freq_predict_udf(spark, cf_dict, 1e-10)
+    want = {r["doc_id"]: r["p"] for r in sub.select("doc_id", udf(F.col("text")).alias("p")).collect()}
+    got = {r["doc_id"]: r["lang_pred"] for r in qs["char_freq_predict"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    diff = sum(1 for k in want if got[k] != want[k])
+    assert diff <= max(1, len(want) // 200), f"{diff}/{len(want)}"
+
+
 def test_oracle_separates_languages(train_pdf, test_pdf):
     """Sanity: synthetic languages are separable by the reference models."""
     m = ref.CharFrequency()
