@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from language_identification_spark.operators import dedup, similarity
     from language_identification_spark.operators.eval import (
-        classification_report,
+        classification_report_full,
         confusion_matrix_long,
         dataset_statistics,
         label_distribution,
@@ -158,12 +158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_distribution(_t(spark, sf, "documents"))
 
     def report(spark, sf):
-        # A10/A11 on a deterministic synthetic prediction column
+        # A10/A11 on a deterministic synthetic prediction column — full
+        # sklearn shape including 'macro avg' / 'weighted avg' rows.
         d = _t(spark, sf, "documents").select(
             "lang",
             F.when(F.col("doc_id") % 7 == 0, F.lit("en")).otherwise(F.col("lang")).alias("lang_pred"),
         )
-        r = classification_report(d)
+        r = classification_report_full(d)
         return r.select(
             "class",
             F.round("precision", 6).alias("precision"),
@@ -516,6 +517,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("lang", "feat", "prob", "rk")
         )
 
+    def feature_importances_topk(spark, sf):
+        # A14 proper: RandomForest featureImportances from the MLlib
+        # pipeline (reference classical_ml.py:216-255), top-20 by
+        # (-importance, term). Iterative ensemble training has no SQL
+        # form → rows-only gate; pytest covers the rf/lr/svm paths.
+        from language_identification_spark.models.classical_ml import (
+            feature_importances,
+            train_classical,
+        )
+
+        d = _t(spark, sf, "documents").select("text", "lang")
+        model = train_classical(d, "rf_tfidf", vocab_size=1000)
+        return feature_importances(spark, model, top_k=20)
+
     def user_sessions(spark, sf):
         # sessionization: lag + gap>30min cumsum (window-function showcase)
         from pyspark.sql import Window
@@ -616,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_freq_predict": char_freq_predict,
         "tfidf_top_terms": tfidf_top_terms,
         "dunning_top_features": dunning_top_features,
+        "feature_importances_topk": feature_importances_topk,
         "user_sessions": user_sessions,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
@@ -822,18 +838,34 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": "SELECT lang AS label, count(*) AS n FROM documents GROUP BY 1",
         "classification_report": report_base
         + """
-          SELECT class,
-                 round(CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END, 6) AS precision,
-                 round(CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END, 6) AS recall,
-                 round(CASE WHEN (CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END
+          , perclass AS (
+            SELECT class,
+                   CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END AS precision,
+                   CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END AS recall,
+                   CASE WHEN (CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END
                               + CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END) > 0
                         THEN 2 * (CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END)
                                * (CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END)
                              / ((CASE WHEN pred_cnt > 0 THEN tp::DOUBLE / pred_cnt ELSE 0 END)
                                + (CASE WHEN support > 0 THEN tp::DOUBLE / support ELSE 0 END))
-                        ELSE 0 END, 6) AS f1,
-                 support
-          FROM j
+                        ELSE 0 END AS f1,
+                   support
+            FROM j
+          )
+          SELECT class, round(precision, 6) AS precision, round(recall, 6) AS recall,
+                 round(f1, 6) AS f1, support
+          FROM perclass
+          UNION ALL
+          SELECT 'macro avg', round(avg(precision), 6), round(avg(recall), 6),
+                 round(avg(f1), 6), sum(support)
+          FROM perclass
+          UNION ALL
+          SELECT 'weighted avg',
+                 round(sum(precision * support) / sum(support), 6),
+                 round(sum(recall * support) / sum(support), 6),
+                 round(sum(f1 * support) / sum(support), 6),
+                 sum(support)
+          FROM perclass
         """,
         "confusion_matrix": f"""
           SELECT lang AS label, {corrupt_pred} AS pred, count(*) AS n

@@ -101,6 +101,37 @@ def train_classical(train_df: DataFrame, model_name: str,
     return build_pipeline(model_name, vocab_size).fit(train_df)
 
 
+def feature_importances(spark, model: PipelineModel, top_k: int = 20) -> DataFrame:
+    """(term, importance, rank) — the reference's feature-importance export
+    (/root/reference/src/models/classical_ml.py:216-255): RandomForest
+    ``featureImportances`` directly, or mean |coefficient| across classes
+    for linear models (LogisticRegression coefficientMatrix, OneVsRest of
+    LinearSVC per-class coefficients). Ties break by term ascending, so the
+    top-k is deterministic. The model table is tiny (vocab-bounded) — a
+    driver-side build + createDataFrame is the right shape."""
+    import numpy as np
+
+    cv = next(s for s in model.stages if hasattr(s, "vocabulary"))
+    clf = model.stages[-1]
+    if hasattr(clf, "featureImportances"):  # RandomForestClassificationModel
+        imp = clf.featureImportances.toArray()
+    elif hasattr(clf, "coefficientMatrix"):  # LogisticRegressionModel
+        imp = np.abs(clf.coefficientMatrix.toArray()).mean(axis=0)
+    elif hasattr(clf, "models"):  # OneVsRestModel (LinearSVC)
+        imp = np.abs(np.stack([m.coefficients.toArray() for m in clf.models])).mean(axis=0)
+    else:
+        raise ValueError(f"no importances/coefficients on {type(clf).__name__}")
+    vocab = cv.vocabulary
+    ranked = sorted(
+        ((float(imp[i]), vocab[i]) for i in range(min(len(vocab), len(imp)))),
+        key=lambda t: (-t[0], t[1]),
+    )[:top_k]
+    return spark.createDataFrame(
+        [(term, v, r + 1) for r, (v, term) in enumerate(ranked)],
+        "term string, importance double, rank int",
+    )
+
+
 def predict_classical(model: PipelineModel, df: DataFrame) -> DataFrame:
     """→ input columns + ``lang_pred`` (decoded back to language codes)."""
     indexer = model.stages[-2]  # the fitted StringIndexerModel

@@ -91,6 +91,7 @@ def train_markov(
 def train_cavnar_trenkle(
     df: DataFrame, max_profile_size: int = 400,
     text_col: str = "text", lang_col: str = "lang", order_col: str = "doc_idx",
+    max_chars_per_lang: int | None = None,
 ) -> DataFrame:
     """(lang, ngram, cnt, rank) — top-400 1..5-gram rank profile.
 
@@ -99,7 +100,28 @@ def train_cavnar_trenkle(
     exist and order matters — inherently sequential per language. We
     distribute per-language with ``applyInPandas`` (one group per lang;
     profiles are tiny) and reuse the oracle's ``ct_profile`` for exactness.
+
+    ``max_chars_per_lang`` is the SCALE mode: exact concatenation puts a
+    whole language's corpus in one executor's Python string (at web scale
+    "English" is half the corpus — OOM by design), so the bounded mode
+    keeps only the deterministic dataset-order PREFIX of each language up
+    to the char budget before concatenating (a cumulative-length window;
+    the first document always survives). Rank profiles saturate quickly —
+    top-400 n-grams of a few MB of text match the full-corpus profile in
+    practice — and ``None`` keeps the exact reference semantics.
     """
+    if max_chars_per_lang is not None:
+        w = (
+            Window.partitionBy(lang_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prior = F.coalesce(F.sum(F.length(text_col)).over(w), F.lit(0))
+        df = (
+            df.withColumn("_prior_chars", prior)
+            .filter(F.col("_prior_chars") < max_chars_per_lang)
+            .drop("_prior_chars")
+        )
 
     def build(pdf):
         import pandas as pd

@@ -101,6 +101,30 @@ def classification_report(
     )
 
 
+def classification_report_full(
+    df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred"
+) -> DataFrame:
+    """Per-class rows plus the 'macro avg' and 'weighted avg' rows of
+    sklearn's classification_report output_dict (utils.py:211): macro =
+    unweighted mean over classes, weighted = support-weighted mean, both
+    with support = total sample count (predicted-only classes carry
+    support 0, so Σsupport = N)."""
+    rep = classification_report(df, label_col, pred_col)
+    macro = rep.agg(
+        F.avg("precision").alias("precision"),
+        F.avg("recall").alias("recall"),
+        F.avg("f1").alias("f1"),
+        F.sum("support").alias("support"),
+    ).select(F.lit("macro avg").alias("class"), "precision", "recall", "f1", "support")
+    weighted = rep.agg(
+        (F.sum(F.col("precision") * F.col("support")) / F.sum("support")).alias("precision"),
+        (F.sum(F.col("recall") * F.col("support")) / F.sum("support")).alias("recall"),
+        (F.sum(F.col("f1") * F.col("support")) / F.sum("support")).alias("f1"),
+        F.sum("support").alias("support"),
+    ).select(F.lit("weighted avg").alias("class"), "precision", "recall", "f1", "support")
+    return rep.unionByName(macro).unionByName(weighted)
+
+
 def macro_f1(df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred") -> DataFrame:
     rep = classification_report(df, label_col, pred_col)
     return rep.agg(

@@ -68,24 +68,62 @@ def package_zip() -> str:
     This is the cluster-deploy artifact: executors' Python workers import
     the package from this zip, so UDF closures referencing package modules
     resolve everywhere, not just when the driver's CWD is the repo root.
+
+    The filename embeds a content hash: a source change yields a NEW path
+    (stale same-named zips from concurrent sessions can't be served), and
+    an unchanged source reuses the existing artifact. Writes go through a
+    pid-suffixed temp file + atomic rename so concurrent builders race
+    safely.
     """
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    out = os.path.join(tempfile.gettempdir(), "language_identification_spark.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as z:
-        for dirpath, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(dirpath, f)
-                    z.write(full, os.path.relpath(full, root))
+    sources: list[tuple[str, str]] = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                sources.append((os.path.relpath(full, root), full))
+    sources.sort()
+    h = hashlib.sha256()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"language_identification_spark-{h.hexdigest()[:12]}.zip",
+    )
+    if os.path.exists(out):
+        return out
+    tmp = f"{out}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
+        for rel, full in sources:
+            z.write(full, rel)
+    os.replace(tmp, out)
     return out
 
 
+# (applicationId, zip path) pairs already registered — skips repeat
+# addPyFile calls (which only WARN-spam and are no-ops in local mode).
+_shipped: set[tuple[str, str]] = set()
+
+
 def ship_package(spark: SparkSession) -> None:
-    """Make the package importable on executors (idempotent)."""
+    """Make the package importable on executors (idempotent per context).
+
+    Genuine packaging failures (unwritable tmpdir, zip errors) propagate;
+    only Spark's same-path-already-added complaint is tolerated.
+    """
+    path = package_zip()
+    key = (spark.sparkContext.applicationId, path)
+    if key in _shipped:
+        return
     try:
-        spark.sparkContext.addPyFile(package_zip())
-    except Exception:
-        # addPyFile raises if the same filename was already registered in
-        # this context — fine, the workers already have it.
-        pass
+        spark.sparkContext.addPyFile(path)
+    except Exception as e:  # noqa: BLE001 — filtered by message below
+        msg = str(e)
+        if "added already" not in msg and "already been added" not in msg:
+            raise
+    _shipped.add(key)

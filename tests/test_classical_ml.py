@@ -44,3 +44,29 @@ def test_all_configs_build():
 
     for name in MODEL_CONFIGS:
         build_pipeline(name)
+
+
+@pytest.mark.parametrize("model_name", ["rf_tfidf", "lr_tfidf", "svm_unigram"])
+def test_feature_importances(spark, split_dfs, model_name):
+    """A14: RF featureImportances / mean |coef| top-k export is a ranked,
+    deterministic, vocabulary-decoded table."""
+    from language_identification_spark.models.classical_ml import feature_importances
+
+    train, _ = split_dfs
+    model = train_classical(train, model_name, vocab_size=500)
+    imp = feature_importances(spark, model, top_k=10)
+    rows = imp.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert 0 < len(rows) <= 10
+    vals = [r["importance"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(isinstance(r["term"], str) and r["term"] for r in rows)
+    # Deterministic retrain → same (term, rank) table, for models whose
+    # term→importance map is invariant under vocabulary index permutation
+    # (linear models). RF feature-subsamples BY INDEX, and CountVectorizer's
+    # equal-count tie order varies run-to-run, so RF rankings can drift.
+    if model_name != "rf_tfidf":
+        again = feature_importances(
+            spark, train_classical(train, model_name, vocab_size=500), top_k=10
+        ).orderBy("rank").collect()
+        assert [(r["term"], r["rank"]) for r in again] == [(r["term"], r["rank"]) for r in rows]

@@ -177,3 +177,24 @@ def test_oracle_separates_languages(train_pdf, test_pdf):
     preds = m.predict(test_pdf["text"].tolist())
     acc = (test_pdf["lang"].to_numpy() == preds).mean()
     assert acc > 0.9, acc
+
+
+def test_cavnar_trenkle_bounded_mode(spark, corpus_df, train_df):
+    """Scale mode: a char budget covering the whole corpus reproduces the
+    exact profiles; a tight budget still yields full-shape profiles built
+    from each language's dataset-order prefix (first doc always kept)."""
+    exact = tr.model_table_to_dict(tr.train_cavnar_trenkle(train_df), "cavnar_trenkle")
+    big = tr.model_table_to_dict(
+        tr.train_cavnar_trenkle(train_df, max_chars_per_lang=10**9), "cavnar_trenkle"
+    )
+    assert big == exact
+
+    bounded = tr.train_cavnar_trenkle(train_df, max_chars_per_lang=500)
+    prof = tr.model_table_to_dict(bounded, "cavnar_trenkle")
+    assert set(prof) == set(exact)
+    for lang, items in prof.items():
+        assert 0 < len(items) <= 400
+        # rank profiles saturate fast: generous overlap with the exact top-50
+        top_exact = {g for g, _ in exact[lang][:50]}
+        top_bound = {g for g, _ in items[:50]}
+        assert len(top_exact & top_bound) >= 25, lang
