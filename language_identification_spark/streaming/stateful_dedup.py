@@ -1,0 +1,63 @@
+"""Custom stateful streaming operator: cross-micro-batch exact dedup.
+
+The north_star's custom-stateful slot (``applyInPandasWithState``): a
+web-crawl stream re-sees the same page bytes across fetches and micro
+batches, and the batch ``dedup_exact`` operator can't help a stream — it
+only sees one micro-batch at a time. Here the stream is grouped by
+content hash (sha256 of the text, the same key the batch operator
+shuffles on) and a tiny per-key state ("how many occurrences have been
+emitted") survives across micro-batches, so only the FIRST occurrence of
+each distinct text ever reaches the sink.
+
+Scale shape: state is one small row per distinct hash, partitioned by the
+group key across executors exactly like the batch groupBy; the state
+store checkpoints with the query, so dedup is resumable. A TTL would
+bound state for unbounded crawls (GroupStateTimeout supports processing-
+time timeouts); left to the caller's retention policy here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "h string, url string, text string, n_prior long"
+STATE_SCHEMA = "seen long"
+
+
+def _first_occurrence(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    seen = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        if seen == 0:
+            first = pdf.iloc[:1].copy()
+            first["n_prior"] = 0
+            yield first[["h", "url", "text", "n_prior"]]
+        seen += len(pdf)
+    state.update((seen,))
+
+
+def dedup_stream(
+    pages_stream: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """Streaming exact dedup: emits one row per distinct ``text_col`` ever
+    seen by the query (first occurrence wins, across micro-batches)."""
+    keyed = pages_stream.select(
+        F.sha2(F.col(text_col), 256).alias("h"),
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    return keyed.groupBy("h").applyInPandasWithState(
+        _first_occurrence,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
