@@ -111,17 +111,25 @@ def _bucket_self_join(
     is what dedup grouping consumes; the exact-similarity verify stage
     filters them like any other candidate. ``max_bucket=None`` disables the
     guard (exact all-pairs semantics).
-    """
-    from pyspark.sql import Window
 
+    Plan shape: the hot-bucket list is found with one map-side-combined
+    aggregation and is TINY by construction (only buckets with >max_bucket
+    members), so it broadcasts to route rows — no window sort over the
+    full banded table. ``banded`` feeds several consumers (hot scan + both
+    join sides + star), and its lineage usually contains an expensive
+    signature UDF, so it is persisted for the duration of the plan.
+    """
     if max_bucket is not None:
-        w = Window.partitionBy(*key_cols)
-        sized = banded.withColumn("_bsz", F.count("*").over(w)).withColumn(
-            "_bmin", F.min("id").over(w)
+        banded = banded.persist()
+        hot = (
+            banded.groupBy(*key_cols)
+            .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin"))
+            .filter(F.col("_bsz") > max_bucket)
         )
-        small = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_bmin")
+        small = banded.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
         star = (
-            sized.filter((F.col("_bsz") > max_bucket) & (F.col("id") != F.col("_bmin")))
+            banded.join(F.broadcast(hot), key_cols)
+            .filter(F.col("id") != F.col("_bmin"))
             .select(F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"))
         )
     else:
@@ -233,21 +241,40 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
-    The verify join touches only candidate ids — at 100 TB this is the
-    difference between a quadratic shingle join and a near-linear one.
+    The verify stage computes Jaccard PER CANDIDATE PAIR (join the two
+    distinct-shingle arrays, ``array_intersect`` JVM-side): cost is
+    O(|candidates| · shingles/doc). Routing candidates through the
+    inverted-index ``jaccard_similar_pairs`` instead would re-explode all
+    pairs of candidate documents through shared shingles — on web text
+    (boilerplate 8-grams shared by most documents) that join is quadratic
+    in the candidate set even though the LSH filter was linear.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
-    # Candidates feed three consumers (two id projections + the final
-    # semi-join); persist so the signature+self-join lineage runs once.
-    cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket).persist()
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
+    cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)).alias("sh"),
     )
-    subset = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
-    verified = jaccard_similar_pairs(subset, id_col, text_col, n, threshold)
-    return verified.join(cand, ["id_a", "id_b"], "left_semi")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 FNV_OFFSET = 0xCBF29CE484222325
