@@ -2,7 +2,8 @@
 for spark-submit --py-files execution on multi-executor clusters").
 
 Cluster:
-    spark-submit --py-files /tmp/language_identification_spark.zip \
+    ZIP=$(python -c "from language_identification_spark.session import package_zip; print(package_zip())")
+    spark-submit --py-files "$ZIP" \
         scripts/run_quality_job.py --input <pages dir or Iceberg id> \
         --output <dir> --lineage <dir> [--buckets 256]
 
