@@ -54,3 +54,30 @@ def test_training_is_single_shuffle_per_model(spark, pages_df):
     m = train_ngram_lm(df, n=1)
     # one shuffle for the groupBy + one for the window partitioning
     assert count_exchanges(m) <= 2
+
+
+def test_hot_bucket_guard_broadcasts_hot_list(spark, pages_df):
+    """The guard must route rows via a BROADCAST of the (tiny) oversized-
+    bucket list — a window/sort over the full banded table would be a
+    100-TB regression — and the exact-bucket self-join key must shuffle."""
+    from language_identification_spark.operators import dedup
+    from language_identification_spark.plans.asserts import explain_str
+
+    docs = pages_df.select(F.monotonically_increasing_id().alias("doc_id"), "text")
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.minhash_lsh_candidates(sigs, max_bucket=100)
+    plan = explain_str(cand)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_lsh_topk_broadcasts_probe_side(spark, sf_dir):
+    from language_identification_spark.operators import similarity
+    from language_identification_spark.plans.asserts import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.lsh_topk(emb, [0, 1, 2], k=5, n_planes=6)
+    plan = explain_str(out)
+    # exploded probe buckets stay on the broadcast side; the corpus is
+    # scanned, never shuffled, before the candidate join
+    assert "BroadcastHashJoin" in plan, plan
