@@ -531,6 +531,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         model = train_classical(d, "rf_tfidf", vocab_size=1000)
         return feature_importances(spark, model, top_k=20)
 
+    def salted_lang_stats(spark, sf):
+        # Skew-safe two-stage aggregation (operators/skew.salted_agg):
+        # result is provably identical to a direct GROUP BY — the oracle IS
+        # the direct GROUP BY, so the gate checks the salting algebra.
+        from language_identification_spark.operators.skew import salted_agg
+
+        d = _t(spark, sf, "documents").withColumn("text_len", F.length("text"))
+        out = salted_agg(
+            d,
+            key="lang",
+            aggs={
+                "n_docs": "count",
+                "total_chars": "sum:text_len",
+                "min_id": "min:doc_id",
+                "max_id": "max:doc_id",
+            },
+            n_salts=8,
+            salt_from="doc_id",
+        )
+        return out.select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "min_id",
+            "max_id",
+        )
+
     def user_sessions(spark, sf):
         # sessionization: lag + gap>30min cumsum (window-function showcase)
         from pyspark.sql import Window
@@ -632,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "dunning_top_features": dunning_top_features,
         "feature_importances_topk": feature_importances_topk,
+        "salted_lang_stats": salted_lang_stats,
         "user_sessions": user_sessions,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
@@ -1132,6 +1160,11 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY prob DESC, feat ASC) AS rk
             FROM model
           ) WHERE rk <= 10
+        """,
+        "salted_lang_stats": """
+          SELECT lang, count(*) AS n_docs, sum(len(text)) AS total_chars,
+                 min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM documents GROUP BY lang
         """,
         "user_sessions": """
           WITH gaps AS (
