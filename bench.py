@@ -131,7 +131,7 @@ def scaling_report(sf_dir: str, mult: int = 256) -> dict:
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}",
              sys.executable, os.path.join(REPO, "scripts", "scale_probe.py"),
-             str(cores), str(mult), "1"],
+             str(cores), str(mult), "2"],  # best-of-2 timed runs per probe
             capture_output=True, text=True,
             env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_FUSED="1"),
             timeout=1200,
