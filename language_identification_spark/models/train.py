@@ -152,7 +152,14 @@ def train_dunning(
     """(lang, feat, prob) — char unigram ('c_x') + bigram ('bg_xy') features,
     globally-unioned vocabulary, additive smoothing over |V|
     (lieterature.py:83-113). Pure relational: two explodes, a union, a
-    cross join of langs × vocab (both tiny), left join of counts."""
+    cross join of langs × vocab, left join of counts.
+
+    Scale note: the reference semantics REQUIRE a dense langs × vocab grid
+    (every lang carries a smoothed prob for every global feature), so the
+    model table is L·|V| rows — fine for alphabetic corpora, and for a
+    CJK-heavy web corpus (|V| ~ 10⁷ observed bigrams) still only a model
+    BUILD cost: the corpus itself is touched once, the grid never joins
+    back to documents (serving broadcasts per-lang dicts)."""
     low = F.lower(F.col(text_col))
     uni = df.select(
         F.col(lang_col).alias("lang"),
