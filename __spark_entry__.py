@@ -885,14 +885,14 @@ def oracle_sql() -> dict[str, str]:
           FROM perclass
           UNION ALL
           SELECT 'macro avg', round(avg(precision), 6), round(avg(recall), 6),
-                 round(avg(f1), 6), sum(support)
+                 round(avg(f1), 6), sum(support)::BIGINT
           FROM perclass
           UNION ALL
           SELECT 'weighted avg',
                  round(sum(precision * support) / sum(support), 6),
                  round(sum(recall * support) / sum(support), 6),
                  round(sum(f1 * support) / sum(support), 6),
-                 sum(support)
+                 sum(support)::BIGINT
           FROM perclass
         """,
         "confusion_matrix": f"""
@@ -1162,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rk <= 10
         """,
         "salted_lang_stats": """
-          SELECT lang, count(*) AS n_docs, sum(len(text)) AS total_chars,
+          SELECT lang, count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars,
                  min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM documents GROUP BY lang
         """,
@@ -1175,7 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
           )
           SELECT user_id,
-                 coalesce(sum(new_sess), 0) + 1 AS n_sessions,
+                 (coalesce(sum(new_sess), 0) + 1)::BIGINT AS n_sessions,
                  count(*) AS n_events
           FROM gaps GROUP BY user_id
         """,

@@ -50,6 +50,19 @@ def _norm_rows(cols, rows):
     return sorted(c for c in cols), out
 
 
+def _pandas_canon(pdf):
+    """Driver-identical canonicalization: sort columns by name, stringify
+    every cell THROUGH ITS PANDAS DTYPE (so int64 75 -> '75' but float64
+    75.0 -> '75.0' — the exact representation the driver hashes), sort
+    rows. Catches dtype-promotion bugs (DuckDB HUGEINT -> float64) that a
+    fetchall()-based compare is blind to (the round-2 red-gate root cause)."""
+    pdf = pdf[sorted(pdf.columns)]
+    rows = sorted(
+        tuple(str(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
+    return rows
+
+
 ORACLE = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
@@ -78,6 +91,17 @@ def test_query_vs_oracle(name, spark, sf_dir, duck):
     assert not mismatches, (
         f"{name}: {len(mismatches)} mismatched rows; first: "
         f"spark={sr[mismatches[0]]} duck={dr[mismatches[0]]}"
+    )
+
+    # dtype-exactness gate: the driver compares pandas-materialized frames,
+    # so representation differences (int64 75 vs float64 75.0) fail its hash
+    # even when values are equal. Replicate that exactly.
+    sp = _pandas_canon(sdf.toPandas())
+    dp = _pandas_canon(duck.execute(ORACLE[name]).df())
+    diffs = [i for i, (a, b) in enumerate(zip(sp, dp)) if a != b]
+    assert not diffs, (
+        f"{name}: pandas-representation mismatch (dtype promotion?); first: "
+        f"spark={sp[diffs[0]]} duck={dp[diffs[0]]}"
     )
 
 
