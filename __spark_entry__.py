@@ -353,6 +353,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return train_cavnar_trenkle(d, order_col="doc_id")
 
+    def cavnar_predict(spark, sf):
+        # J4 serving semantics (reference lieterature.py:37-57): the doc's
+        # own top-400 rank profile (1..5-grams, symmetric '_'*(n-1) pad,
+        # sorted by -cnt then gram), out-of-place distance vs each lang
+        # profile = Σ coalesce(abs(i - j), 400), argmin per doc with
+        # sorted-lang tie-break. Fully relational doc side; the lang
+        # profiles reuse the gated applyInPandas trainer (A6).
+        from pyspark.sql import Window
+
+        from language_identification_spark.models.train import train_cavnar_trenkle
+
+        d = _t(spark, sf, "documents")
+        lang_prof = train_cavnar_trenkle(d, order_col="doc_id").select(
+            "lang", "ngram", F.col("rank").alias("j")
+        )
+        sub = d.filter(F.col("doc_id") < 300)
+        low = F.lower(F.col("text"))
+        parts = []
+        for n in range(1, 6):
+            pad = F.concat(F.lit("_" * (n - 1)), low, F.lit("_" * (n - 1)))
+            parts.append(
+                sub.select(
+                    "doc_id",
+                    F.explode(char_ngrams(pad, n, reference_pad=False)).alias("ngram"),
+                )
+            )
+        allg = parts[0]
+        for p in parts[1:]:
+            allg = allg.unionAll(p)
+        counts = allg.groupBy("doc_id", "ngram").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col("ngram").asc()
+        )
+        doc_prof = (
+            counts.withColumn("i", F.row_number().over(w) - 1)
+            .filter(F.col("i") < 400)
+            .select("doc_id", "ngram", "i")
+        )
+        langs = d.select("lang").distinct()
+        dist = (
+            doc_prof.crossJoin(F.broadcast(langs))
+            .join(F.broadcast(lang_prof), ["lang", "ngram"], "left")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.sum(
+                    F.coalesce(F.abs(F.col("i") - F.col("j")), F.lit(400))
+                ).alias("distance")
+            )
+        )
+        return dist.groupBy("doc_id").agg(
+            F.expr("min_by(lang, struct(distance, lang))").alias("lang_pred")
+        )
+
     def dunning_predict(spark, sf):
         # J5: left join with raw-0.5 fallback, length-normalized log-prob,
         # argmax per doc (docs subset to bound the cross join)
@@ -653,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": fingerprints,
         "quality_scores": quality_scores,
         "cavnar_profile": cavnar_profile,
+        "cavnar_predict": cavnar_predict,
         "dunning_predict": dunning_predict,
         "markov_predict": markov_predict,
         "char_freq_predict": char_freq_predict,
@@ -974,6 +1028,69 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) - 1 AS rank
             FROM counts
           ) WHERE rank < 400
+        """,
+        "cavnar_predict": """
+          WITH combined AS (
+            SELECT lang, lower(string_agg(text, ' ' ORDER BY doc_id)) AS t
+            FROM documents GROUP BY lang
+          ),
+          lgrams AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"""
+            SELECT c.lang, substr(p.p, i.i::INT, {n}) AS ngram
+            FROM combined c,
+                 LATERAL (SELECT '{'_' * (n - 1)}' || c.t || '{'_' * (n - 1)}' AS p) p,
+                 LATERAL unnest(range(1, len(p.p) - {n - 1} + 1)) AS i(i)
+            """
+            for n in range(1, 6)
+        )
+        + """
+          ),
+          lcounts AS (SELECT lang, ngram, count(*) AS cnt FROM lgrams GROUP BY 1, 2),
+          lang_prof AS (
+            SELECT lang, ngram, rank AS j FROM (
+              SELECT lang, ngram,
+                     row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) - 1 AS rank
+              FROM lcounts
+            ) WHERE rank < 400
+          ),
+          sub AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300),
+          dgrams AS (
+            """
+        + "\nUNION ALL\n".join(
+            f"""
+            SELECT s.doc_id, substr(p.p, i.i::INT, {n}) AS ngram
+            FROM sub s,
+                 LATERAL (SELECT '{'_' * (n - 1)}' || s.t || '{'_' * (n - 1)}' AS p) p,
+                 LATERAL unnest(range(1, len(p.p) - {n - 1} + 1)) AS i(i)
+            """
+            for n in range(1, 6)
+        )
+        + """
+          ),
+          dcounts AS (SELECT doc_id, ngram, count(*) AS cnt FROM dgrams GROUP BY 1, 2),
+          doc_prof AS (
+            SELECT doc_id, ngram, rk AS i FROM (
+              SELECT doc_id, ngram,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) - 1 AS rk
+              FROM dcounts
+            ) WHERE rk < 400
+          ),
+          langs AS (SELECT DISTINCT lang FROM documents),
+          dist AS (
+            SELECT dp.doc_id, l.lang,
+                   sum(coalesce(abs(dp.i - lp.j), 400)) AS distance
+            FROM doc_prof dp CROSS JOIN langs l
+            LEFT JOIN lang_prof lp ON lp.lang = l.lang AND lp.ngram = dp.ngram
+            GROUP BY 1, 2
+          )
+          SELECT doc_id, lang AS lang_pred FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY distance ASC, lang ASC) AS rn
+            FROM dist
+          ) WHERE rn = 1
         """,
         "dunning_predict": """
           WITH uni AS (

@@ -72,7 +72,10 @@ def _classifier(kind: str):
         return OneVsRest(classifier=LinearSVC(maxIter=50),
                          featuresCol="features", labelCol="label")
     if kind == "rf":
-        return RandomForestClassifier(numTrees=50, maxDepth=12,
+        # explicit seed: the MLlib default is deterministic but the
+        # bootstrap is partition-indexed — pin it so the committed golden
+        # importances table stays reproducible across layouts
+        return RandomForestClassifier(numTrees=50, maxDepth=12, seed=7,
                                       featuresCol="features", labelCol="label")
     raise ValueError(kind)
 

@@ -70,3 +70,27 @@ def test_feature_importances(spark, split_dfs, model_name):
             spark, train_classical(train, model_name, vocab_size=500), top_k=10
         ).orderBy("rank").collect()
         assert [(r["term"], r["rank"]) for r in again] == [(r["term"], r["rank"]) for r in rows]
+
+
+def test_feature_importances_golden(spark):
+    """Value pin for the rows-only `feature_importances_topk` gate: the
+    sf0.01 RF (seed pinned in `_classifier`) must reproduce the committed
+    golden top-20 exactly — eliminating the one gate the DuckDB oracle
+    can't see into (iterative ensemble training has no SQL form). Pinned at
+    sf0.01 because that is the scale the driver's gate runs at."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "feature_importances_sf001.parquet"
+    )
+    got = (
+        entrymod.queries()["feature_importances_topk"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = pd.read_parquet(golden_path)
+    pd.testing.assert_frame_equal(got, want)
