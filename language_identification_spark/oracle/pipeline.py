@@ -55,22 +55,30 @@ def train_oracle_models(train_pdf: pd.DataFrame, dim: int = DIM):
 
 
 def run_oracle_pipeline(pages_pdf: pd.DataFrame, nb: HashedNgramNB, lm: BigramLM) -> pd.DataFrame:
-    """pages → oracle output frame keyed by url."""
+    """pages → oracle output frame keyed by url.
+
+    Scores through the SAME whole-batch functions the Spark UDFs call
+    (score_batch / perplexity_batch). Their per-doc segment sums are
+    ``np.add.reduceat`` — computed independently per segment — so the
+    numbers are invariant to batch composition: oracle-over-all-docs is
+    bit-identical to Spark-over-Arrow-batches by construction."""
+    norms = [py_norm(t or "") for t in pages_pdf["text"]]
+    labels, confs = nb.predict_labels(norms)
+    ppls = lm.perplexity_batch(norms)
     rows = []
-    for _, r in pages_pdf.iterrows():
-        norm = py_norm(r["text"] or "")
-        labels, confs = nb.predict_labels([norm])
-        ppl = lm.perplexity(norm)
+    for url, norm, label, conf, ppl in zip(
+        pages_pdf["url"], norms, labels, confs, ppls
+    ):
         feats = py_quality_features(norm)
         rows.append(
             {
-                "url": r["url"],
+                "url": url,
                 "norm_text": norm,
-                "lang_pred": labels[0],
-                "lang_conf": float(confs[0]),
+                "lang_pred": label,
+                "lang_conf": float(conf),
                 "perplexity": float(ppl),
                 "scrubbed_text": scrub_text(norm),
-                "keep": py_keep(feats, float(confs[0]), float(ppl)),
+                "keep": py_keep(feats, float(conf), float(ppl)),
                 **feats,
             }
         )

@@ -26,6 +26,27 @@ from language_identification_spark.pipeline.quality import (  # noqa: E402
 from language_identification_spark.session import get_spark  # noqa: E402
 
 
+def stat_snapshot() -> tuple[list[int], float]:
+    """(/proc/stat cpu jiffies, monotonic now) — for steal measurement."""
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return v, time.monotonic()
+
+
+def steal_fraction(before: tuple, after: tuple, ncpu: int | None = None) -> float:
+    """Fraction of the window's total CPU capacity stolen by the
+    hypervisor (field 8 of /proc/stat). Steal accrues only when THIS VM
+    demands CPU and doesn't get it, so it is a direct, outcome-independent
+    contamination signal for timed runs on this shared host — unlike
+    loadavg, which cannot see other tenants outside the VM at all."""
+    (v0, t0), (v1, t1) = before, after
+    ncpu = ncpu or os.cpu_count() or 32
+    cap = max((t1 - t0) * 100.0 * ncpu, 1.0)  # CLK_TCK=100
+    return (v1[7] - v0[7]) / cap
+
+
+STEAL_OK = 0.05  # ≤5% of machine capacity stolen during a timed window
+
+
 def _burn(secs: float) -> int:
     t0 = time.monotonic()
     x = 0
@@ -90,9 +111,19 @@ def main() -> None:
         return time.monotonic() - t0
 
     run()  # warm-up (JIT, python workers, page cache)
-    wall = min(run() for _ in range(n_runs))
+    runs: list[tuple[float, float]] = []  # (wall, steal_frac)
+    attempts = 0
+    while sum(1 for _, st in runs if st <= STEAL_OK) < n_runs and attempts < 2 * n_runs + 2:
+        attempts += 1
+        s0 = stat_snapshot()
+        w = run()
+        runs.append((w, steal_fraction(s0, stat_snapshot())))
+    valid = [r for r in runs if r[1] <= STEAL_OK] or runs
+    wall, steal = min(valid)
     print(json.dumps({"cores": cores, "docs": n, "wall_s": round(wall, 3),
-                      "docs_per_sec": round(n / wall, 1)}))
+                      "docs_per_sec": round(n / wall, 1),
+                      "steal_frac": round(steal, 4),
+                      "run_steals": [round(st, 4) for _, st in runs]}))
 
 
 if __name__ == "__main__":
