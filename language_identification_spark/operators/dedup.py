@@ -117,10 +117,15 @@ def _bucket_self_join(
     members), so it broadcasts to route rows — no window sort over the
     full banded table. ``banded`` feeds several consumers (hot scan + both
     join sides + star), and its lineage usually contains an expensive
-    signature UDF, so it is persisted for the duration of the plan.
+    signature UDF, so it is persisted. The cache lives until explicitly
+    released: the persisted handle rides on the returned DataFrame and
+    :func:`release_pair_cache` unpersists it once the pairs have been
+    materialized (long-lived sessions that skip this keep the
+    MEMORY_AND_DISK blocks for the life of the SparkContext).
     """
+    persisted = None
     if max_bucket is not None:
-        banded = banded.persist()
+        banded = persisted = banded.persist()
         hot = (
             banded.groupBy(*key_cols)
             .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin"))
@@ -143,7 +148,20 @@ def _bucket_self_join(
     )
     if star is not None:
         pairs = pairs.unionAll(star)
-    return pairs.distinct()
+    pairs = pairs.distinct()
+    pairs._lid_pair_cache = persisted  # for release_pair_cache
+    return pairs
+
+
+def release_pair_cache(pairs: DataFrame) -> None:
+    """Unpersist the banded-signature cache backing a candidate-pairs (or
+    near-duplicates) DataFrame from the LSH family. Call AFTER the pairs
+    have been materialized (write/collect); no-op if nothing was cached.
+    Without this, each guarded LSH call leaves its MEMORY_AND_DISK blocks
+    cached for the rest of the SparkContext's life."""
+    cached = getattr(pairs, "_lid_pair_cache", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -199,8 +217,15 @@ def minhash_lsh_candidates(
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equal band-hash in ≥1 of ``bands``
-    bands. Shuffle key = (band_idx, band_hash) — collision buckets only;
-    buckets over ``max_bucket`` fall back to star pairs (see
+    bands. Shuffle key = (band_idx, band_hash) — collision buckets only.
+
+    CONTRACT when the guard triggers: in any bucket larger than
+    ``max_bucket`` only STAR pairs (bucket-min ↔ member) are emitted — a
+    spanning SUBSET of the bucket's pairs, sufficient for connected-
+    component dedup grouping but NOT an exhaustive pair enumeration
+    (member↔member pairs of a flooded bucket are dropped). Pass
+    ``max_bucket=None`` for exact all-pairs semantics. Call
+    :func:`release_pair_cache` after materializing (see
     ``_bucket_self_join``)."""
     rows_per_band = n_hashes // bands
     banded = sigs.select(
@@ -248,6 +273,12 @@ def minhash_near_duplicates(
     pairs of candidate documents through shared shingles — on web text
     (boilerplate 8-grams shared by most documents) that join is quadratic
     in the candidate set even though the LSH filter was linear.
+
+    Inherits the guard contract of :func:`minhash_lsh_candidates`: with
+    the default ``max_bucket``, pairs inside a flooded bucket are the
+    star subset (complete for dedup GROUPING, not for exhaustive pair
+    listing — use ``max_bucket=None`` for that). Call
+    :func:`release_pair_cache` on the result after materializing it.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
     cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket)
@@ -257,7 +288,7 @@ def minhash_near_duplicates(
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -275,6 +306,8 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._lid_pair_cache = getattr(cand, "_lid_pair_cache", None)
+    return out
 
 
 FNV_OFFSET = 0xCBF29CE484222325
@@ -326,7 +359,9 @@ def simhash_64(
 def simhash_candidates(
     sim: DataFrame, bands: int = 4, max_bucket: int | None = 10_000
 ) -> DataFrame:
-    """Hamming-≤(bands-1) candidates: equal 16-bit chunk in ≥1 band."""
+    """Hamming-≤(bands-1) candidates: equal 16-bit chunk in ≥1 band.
+    Guard contract and cache release as in :func:`minhash_lsh_candidates`
+    (flooded buckets emit the star subset, not all pairs)."""
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sim.select(
@@ -360,7 +395,9 @@ def embedding_near_duplicates(
     """(id_a, id_b, cosine) with cosine ≥ threshold, via hyperplane-LSH
     bucketing (integer-exact sign projections — see
     similarity.hyperplane_bucket_udf) + exact cosine re-check on candidate
-    pairs only. Oversized buckets fall back to star pairs."""
+    pairs only. Guard contract and cache release as in
+    :func:`minhash_lsh_candidates`: a flooded bucket contributes only its
+    star subset of pairs (grouping-complete, not enumeration-complete)."""
     from .similarity import cosine_expr, hyperplane_bucket_udf
 
     bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed, dim=None)
@@ -376,4 +413,6 @@ def embedding_near_duplicates(
         .join(vb, "id_b")
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    out = pairs.filter(F.col("cosine") >= threshold)
+    out._lid_pair_cache = getattr(cand, "_lid_pair_cache", None)
+    return out

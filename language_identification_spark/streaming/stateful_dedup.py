@@ -11,9 +11,10 @@ each distinct text ever reaches the sink.
 
 Scale shape: state is one small row per distinct hash, partitioned by the
 group key across executors exactly like the batch groupBy; the state
-store checkpoints with the query, so dedup is resumable. A TTL would
-bound state for unbounded crawls (GroupStateTimeout supports processing-
-time timeouts); left to the caller's retention policy here.
+store checkpoints with the query, so dedup is resumable. ``ttl_ms``
+bounds state for unbounded crawls via a processing-time timeout: a hash
+idle for longer than the TTL is evicted (its next occurrence re-emits —
+the standard bounded-state tradeoff; ``None`` keeps exact forever-dedup).
 """
 
 from __future__ import annotations
@@ -29,35 +30,57 @@ OUT_SCHEMA = "h string, url string, text string, n_prior long"
 STATE_SCHEMA = "seen long"
 
 
-def _first_occurrence(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    seen = state.get[0] if state.exists else 0
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        if seen == 0:
-            first = pdf.iloc[:1].copy()
-            first["n_prior"] = 0
-            yield first[["h", "url", "text", "n_prior"]]
-        seen += len(pdf)
-    state.update((seen,))
+def _make_first_occurrence(ttl_ms: int | None):
+    def _first_occurrence(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the TTL: evict so unbounded crawls keep bounded
+            # state (Spark invokes this with no data for the key)
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if seen == 0:
+                first = pdf.iloc[:1].copy()
+                first["n_prior"] = 0
+                yield first[["h", "url", "text", "n_prior"]]
+            seen += len(pdf)
+        state.update((seen,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _first_occurrence
 
 
 def dedup_stream(
-    pages_stream: DataFrame, text_col: str = "text", url_col: str = "url"
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
-    """Streaming exact dedup: emits one row per distinct ``text_col`` ever
-    seen by the query (first occurrence wins, across micro-batches)."""
+    """Streaming exact dedup: emits one row per distinct ``text_col`` seen
+    by the query (first occurrence wins, across micro-batches).
+
+    ``ttl_ms=None`` dedups against everything ever seen (state grows with
+    distinct hashes); a finite TTL evicts hashes idle that long, bounding
+    state for unbounded crawls at the cost of re-admitting a duplicate
+    whose original fell out of the window."""
     keyed = pages_stream.select(
         F.sha2(F.col(text_col), 256).alias("h"),
         F.col(url_col).alias("url"),
         F.col(text_col).alias("text"),
     )
     return keyed.groupBy("h").applyInPandasWithState(
-        _first_occurrence,
+        _make_first_occurrence(ttl_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -204,3 +204,46 @@ def test_frame_sampling(pages_df):
     frames = multimodal.frame_sample_plan(media, every_s=1.0).collect()
     assert len(frames) == 15  # 3 frames per media
     assert {r["frame_idx"] for r in frames} == {0, 1, 2}
+
+
+def test_release_pair_cache(spark, sf_dir):
+    """ADVICE r2: the banded-signature persist must be releasable — after
+    materializing the pairs and calling release_pair_cache, no persistent
+    RDD blocks remain registered with the SparkContext."""
+    from language_identification_spark.operators.dedup import (
+        minhash_near_duplicates,
+        release_pair_cache,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()  # other suites may cache too
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    pairs.count()  # materialize
+    assert jsc.getPersistentRDDs().size() > baseline  # cache in use
+    release_pair_cache(pairs)
+    assert jsc.getPersistentRDDs().size() == baseline
+    # no-op on an uncached frame
+    release_pair_cache(docs)
+
+
+def test_split_empty_regex_boundary(spark):
+    """ADVICE r2: the zip_with n-gram path assumes split(text, '') yields
+    exactly one element per character with no boundary empties (and ['']
+    for the empty string). Pin it so a Spark/JVM upgrade that changes
+    zero-width-regex split behavior fails fast instead of silently
+    corrupting every n-gram consumer."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.split(F.lit("abc"), "").alias("abc"),
+            F.split(F.lit(""), "").alias("empty"),
+            F.split(F.lit("你好"), "").alias("cjk"),
+        )
+        .first()
+    )
+    assert row["abc"] == ["a", "b", "c"]
+    assert row["empty"] == [""]
+    assert row["cjk"] == ["你", "好"]

@@ -79,3 +79,85 @@ def test_stateful_dedup_stream(spark, tmp_path):
     assert set(by_text) == {"alpha doc", "beta doc", "gamma doc"}
     assert len(rows) == 3  # duplicates suppressed within AND across batches
     assert all(r["n_prior"] == 0 for r in rows)
+
+
+def test_stateful_dedup_ttl_eviction(spark, tmp_path):
+    """With a finite ttl_ms, a hash idle past the TTL is EVICTED (bounded
+    state for unbounded crawls): dedup still holds within the window, and
+    a re-arrival after eviction is re-admitted as a fresh first
+    occurrence.
+
+    NOTE: with ProcessingTimeTimeout the engine keeps scheduling empty
+    micro-batches to fire timeouts, so ``processAllAvailable`` never
+    quiesces — the test polls the sink with a deadline instead."""
+    import time
+
+    import pandas as pd
+
+    from language_identification_spark.streaming.quality_stream import PAGES_SCHEMA
+    from language_identification_spark.streaming.stateful_dedup import dedup_stream
+
+    src = str(tmp_path / "ttl_src")
+    ts = pd.Timestamp("2024-01-01", tz="UTC")
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "url": [u for u, _ in rows],
+                "warc_ts": [ts] * len(rows),
+                "html": [b""] * len(rows),
+                "text": [t for _, t in rows],
+                "lang": ["en"] * len(rows),
+                "split": ["train"] * len(rows),
+            }
+        )
+
+    import os
+
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream(stream, ttl_ms=200)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ttl_test")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .start()
+    )
+
+    def wait_rows(n, timeout_s=90.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout_s:
+            if not q.isActive:
+                raise AssertionError(f"query died: {q.exception()}")
+            c = spark.sql("SELECT count(*) AS c FROM dedup_ttl_test").first()["c"]
+            if c >= n:
+                return c
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        # trigger 1: A twice + B — within-batch duplicate suppressed
+        pdf([("u1", "alpha doc"), ("u2", "alpha doc"), ("u3", "beta doc")]).to_parquet(
+            f"{src}/part-0.parquet", index=False
+        )
+        assert wait_rows(2) == 2
+        # idle well past the TTL: the engine's timeout batches evict A/B
+        time.sleep(3.0)
+        # A re-arrives AFTER eviction -> re-admitted as a first occurrence
+        pdf([("u5", "alpha doc")]).to_parquet(f"{src}/part-1.parquet", index=False)
+        assert wait_rows(3) == 3
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT url, text FROM dedup_ttl_test ORDER BY url").collect()
+    got = [(r["url"], r["text"]) for r in rows]
+    assert got == [
+        ("u1", "alpha doc"),  # first occurrence (u2 suppressed in-batch)
+        ("u3", "beta doc"),
+        ("u5", "alpha doc"),  # re-admitted: state evicted by TTL
+    ]
