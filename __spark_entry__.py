@@ -650,6 +650,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = dedup.minhash_near_duplicates(d.unionAll(pert), n=8, threshold=0.8)
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+    def dedup_incremental(spark, sf):
+        # Incremental (new-shard vs corpus-index) near-dedup — the daily
+        # 100 TB operation "is this incoming page already in the corpus?".
+        # Corpus = doc_id % 5 == 0; new shard = planted perturbations
+        # (corpus text + ' zz', ids + 10000) ∪ fresh docs (doc_id % 5 == 1,
+        # expected no match). Same FULL-gate construction as
+        # minhash_near_dups: at n=8 shingles / threshold 0.8 the LSH miss
+        # probability on the planted pairs is ~3e-10, so the operator's
+        # output equals the exact new×corpus Jaccard pair set the twin
+        # computes.
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") % 5 == 0)
+        pert = corpus.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        fresh = d.filter(F.col("doc_id") % 5 == 1)
+        out = dedup.incremental_near_duplicates(
+            pert.unionAll(fresh), corpus, n=8, threshold=0.8
+        )
+        return out.select(
+            "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+        )
+
     def simhash_sigs(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
         return dedup.simhash_64(d)
@@ -726,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": tpch_q1,
         "revenue_join": revenue_join,
         "minhash_near_dups": minhash_near_dups,
+        "dedup_incremental": dedup_incremental,
         "simhash_sigs": simhash_sigs,
         "ann_lsh_topk": ann_lsh_topk,
         "media_features": media_features,
@@ -1422,6 +1447,38 @@ def oracle_sql() -> dict[str, str]:
           JOIN sz sa ON sa.id = i.id_a
           JOIN sz sb ON sb.id = i.id_b
           WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.8
+        """,
+        "dedup_incremental": """
+          WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          ),
+          newdocs AS (
+            SELECT doc_id + 10000 AS doc_id, text || ' zz' AS text
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1
+          ),
+          shc AS (
+            SELECT DISTINCT s.doc_id AS id, substr(s.text, t.i::INT, 8) AS sh
+            FROM corpus s, LATERAL unnest(range(1, len(s.text) - 7 + 1)) AS t(i)
+          ),
+          shn AS (
+            SELECT DISTINCT s.doc_id AS id, substr(s.text, t.i::INT, 8) AS sh
+            FROM newdocs s, LATERAL unnest(range(1, len(s.text) - 7 + 1)) AS t(i)
+          ),
+          szc AS (SELECT id, count(*) AS sz FROM shc GROUP BY id),
+          szn AS (SELECT id, count(*) AS sz FROM shn GROUP BY id),
+          inter AS (
+            SELECT n.id AS new_id, c.id AS corpus_id, count(*) AS inter
+            FROM shn n JOIN shc c ON n.sh = c.sh
+            GROUP BY 1, 2
+          )
+          SELECT i.new_id, i.corpus_id,
+                 round(i.inter::DOUBLE / (sn.sz + sc.sz - i.inter), 6) AS jaccard
+          FROM inter i
+          JOIN szn sn ON sn.id = i.new_id
+          JOIN szc sc ON sc.id = i.corpus_id
+          WHERE i.inter::DOUBLE / (sn.sz + sc.sz - i.inter) >= 0.8
         """,
         "ann_lsh_topk": f"""
           WITH src AS (SELECT vec_id, embedding FROM embeddings),

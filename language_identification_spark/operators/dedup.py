@@ -227,8 +227,15 @@ def minhash_lsh_candidates(
     ``max_bucket=None`` for exact all-pairs semantics. Call
     :func:`release_pair_cache` after materializing (see
     ``_bucket_self_join``)."""
+    banded = _band_table(sigs, bands, n_hashes)
+    return _bucket_self_join(banded, ["band", "bh"], max_bucket)
+
+
+def _band_table(sigs: DataFrame, bands: int, n_hashes: int) -> DataFrame:
+    """(id, band, bh): one xxhash64 per signature band (the LSH bucket
+    key). Shared by the self-join candidates and the incremental index."""
     rows_per_band = n_hashes // bands
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -250,7 +257,90 @@ def minhash_lsh_candidates(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    return _bucket_self_join(banded, ["band", "bh"], max_bucket)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh) LSH index of an EXISTING corpus, for incremental
+    dedup of incoming shards (the operation a 100 TB pipeline runs per
+    crawl: "is this page already in the corpus?").
+
+    At scale, write this table bucketed by ``bh`` (sources/catalog.
+    write_bucketed) so the daily shard join in
+    :func:`incremental_near_duplicates` co-locates without reshuffling
+    the (much larger) index side."""
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
+    return _band_table(sigs, bands, n_hashes)
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard ≥ threshold): incoming documents that
+    near-duplicate something ALREADY IN the corpus.
+
+    Differences vs :func:`minhash_near_duplicates` (same-shard dedup):
+    only new×corpus pairs are considered (new×new belongs to the shard's
+    own dedup pass; corpus×corpus was handled when the corpus was built),
+    and the corpus side is a precomputed ``index`` (pass the persisted
+    :func:`minhash_band_index` table; defaults to computing it inline).
+    The verify stage is the same exact-Jaccard per-candidate-pair
+    ``array_intersect`` — no candidate survives on LSH evidence alone.
+    """
+    if index is None:
+        index = minhash_band_index(corpus_df, id_col, text_col, n, n_hashes, bands, seed)
+    new_sigs = minhash_signatures(new_df, id_col, text_col, n, n_hashes, seed)
+    new_bands = _band_table(new_sigs, bands, n_hashes)
+    cand = (
+        new_bands.join(
+            index.select(F.col("id").alias("corpus_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select(F.col("id").alias("new_id"), "corpus_id")
+        .distinct()
+    )
+    shn = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)).alias("sh_n"),
+    )
+    shc = corpus_df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)).alias("sh_c"),
+    )
+    return (
+        cand.join(shn, "new_id")
+        .join(shc, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("sh_n", "sh_c")).alias("inter"),
+            F.size("sh_n").alias("sz_n"),
+            F.size("sh_c").alias("sz_c"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_n") + F.col("sz_c") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
 
 
 def minhash_near_duplicates(

@@ -26,25 +26,60 @@ from language_identification_spark.pipeline.quality import (  # noqa: E402
 from language_identification_spark.session import get_spark  # noqa: E402
 
 
-def stat_snapshot() -> tuple[list[int], float]:
-    """(/proc/stat cpu jiffies, monotonic now) — for steal measurement."""
+def _our_cpu_jiffies() -> int:
+    """Total utime+stime+cutime+cstime of every process visible in our
+    PID namespace (= our own process tree on this sandbox)."""
+    import glob
+
+    tot = 0
+    for p in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            f = open(p).read().rsplit(")", 1)[1].split()
+            tot += int(f[11]) + int(f[12]) + int(f[13]) + int(f[14])
+        except OSError:
+            pass  # process exited between glob and read
+    return tot
+
+
+def stat_snapshot() -> tuple[list[int], int, float]:
+    """(/proc/stat cpu jiffies, our-process-tree jiffies, monotonic now)."""
     v = list(map(int, open("/proc/stat").readline().split()[1:]))
-    return v, time.monotonic()
+    return v, _our_cpu_jiffies(), time.monotonic()
 
 
 def steal_fraction(before: tuple, after: tuple, ncpu: int | None = None) -> float:
-    """Fraction of the window's total CPU capacity stolen by the
-    hypervisor (field 8 of /proc/stat). Steal accrues only when THIS VM
-    demands CPU and doesn't get it, so it is a direct, outcome-independent
-    contamination signal for timed runs on this shared host — unlike
-    loadavg, which cannot see other tenants outside the VM at all."""
-    (v0, t0), (v1, t1) = before, after
+    """Fraction of the window's CPU capacity stolen by the hypervisor
+    (field 8 of /proc/stat) — theft from OUTSIDE the host."""
+    (v0, _, t0), (v1, _, t1) = before, after
     ncpu = ncpu or os.cpu_count() or 32
     cap = max((t1 - t0) * 100.0 * ncpu, 1.0)  # CLK_TCK=100
     return (v1[7] - v0[7]) / cap
 
 
-STEAL_OK = 0.05  # ≤5% of machine capacity stolen during a timed window
+def others_fraction(before: tuple, after: tuple, ncpu: int | None = None) -> float:
+    """Fraction of the window's CPU capacity burned by processes that are
+    NOT ours: host-wide busy jiffies (/proc/stat is host-scoped here)
+    minus our own process tree's jiffies (our PID namespace shows only our
+    processes). This is the signal that catches co-tenant bursts INSIDE
+    the shared host, which steal cannot see and which our PID namespace
+    hides — measured 0.57× "speedups" trace back to exactly this."""
+    (v0, o0, t0), (v1, o1, t1) = before, after
+    ncpu = ncpu or os.cpu_count() or 32
+    cap = max((t1 - t0) * 100.0 * ncpu, 1.0)
+    busy0 = v0[0] + v0[1] + v0[2] + v0[5] + v0[6] + v0[7]
+    busy1 = v1[0] + v1[1] + v1[2] + v1[5] + v1[6] + v1[7]
+    return max((busy1 - busy0) - (o1 - o0), 0) / cap
+
+
+STEAL_OK = 0.05   # ≤5% of capacity stolen by the hypervisor
+OTHERS_OK = 0.08  # ≤8% of capacity burned by co-tenant processes
+
+
+def window_valid(before: tuple, after: tuple, ncpu: int | None = None) -> bool:
+    return (
+        steal_fraction(before, after, ncpu) <= STEAL_OK
+        and others_fraction(before, after, ncpu) <= OTHERS_OK
+    )
 
 
 def _burn(secs: float) -> int:
@@ -111,19 +146,28 @@ def main() -> None:
         return time.monotonic() - t0
 
     run()  # warm-up (JIT, python workers, page cache)
-    runs: list[tuple[float, float]] = []  # (wall, steal_frac)
+    runs: list[tuple[float, float, float, bool]] = []  # (wall, steal, others, ok)
     attempts = 0
-    while sum(1 for _, st in runs if st <= STEAL_OK) < n_runs and attempts < 2 * n_runs + 2:
+    while sum(1 for r in runs if r[3]) < n_runs and attempts < 2 * n_runs + 2:
         attempts += 1
         s0 = stat_snapshot()
         w = run()
-        runs.append((w, steal_fraction(s0, stat_snapshot())))
-    valid = [r for r in runs if r[1] <= STEAL_OK] or runs
-    wall, steal = min(valid)
+        s1 = stat_snapshot()
+        runs.append(
+            (w, steal_fraction(s0, s1), others_fraction(s0, s1), window_valid(s0, s1))
+        )
+    valid = [r for r in runs if r[3]] or runs
+    wall, steal, others, ok = min(valid)
     print(json.dumps({"cores": cores, "docs": n, "wall_s": round(wall, 3),
                       "docs_per_sec": round(n / wall, 1),
                       "steal_frac": round(steal, 4),
-                      "run_steals": [round(st, 4) for _, st in runs]}))
+                      "others_frac": round(others, 4),
+                      "window_valid": ok,
+                      "run_windows": [
+                          {"wall_s": round(w_, 3), "steal": round(st, 4),
+                           "others": round(ot, 4), "valid": ok_}
+                          for w_, st, ot, ok_ in runs
+                      ]}))
 
 
 if __name__ == "__main__":

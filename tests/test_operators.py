@@ -247,3 +247,38 @@ def test_split_empty_regex_boundary(spark):
     assert row["abc"] == ["a", "b", "c"]
     assert row["empty"] == [""]
     assert row["cjk"] == ["你", "好"]
+
+
+def test_incremental_near_duplicates(spark):
+    """New-shard-vs-corpus dedup: planted near-dups are found against the
+    corpus index; new×new and corpus×corpus pairs are NEVER reported; a
+    precomputed index gives the same answer as the inline one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_band_index,
+    )
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs every single day"),
+        (2, "sphinx of black quartz judge my vow said the old wizard"),
+    ]
+    corpus = spark.createDataFrame(pd.DataFrame(base, columns=["doc_id", "text"]))
+    new_rows = [
+        (100, base[0][1] + " zz"),   # near-dup of corpus doc 0
+        (101, base[0][1] + " zz"),   # identical to 100 (new x new: must NOT pair)
+        (102, "completely different fresh content with no overlap at all"),
+    ]
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+
+    out = incremental_near_duplicates(new, corpus, n=8, threshold=0.8)
+    got = {(r["new_id"], r["corpus_id"]) for r in out.collect()}
+    assert got == {(100, 0), (101, 0)}
+
+    # precomputed index path gives the identical pair set
+    idx = minhash_band_index(corpus, n=8)
+    out2 = incremental_near_duplicates(new, corpus, index=idx, n=8, threshold=0.8)
+    assert {(r["new_id"], r["corpus_id"]) for r in out2.collect()} == got
