@@ -238,8 +238,12 @@ def main() -> None:
 
     from language_identification_spark.pipeline.quality import train_quality_models
 
+    # mult=64 (320k docs): at the current serving rate a 20k-doc corpus
+    # finishes in <1 s, i.e. the measured "docs/s" was mostly fixed job
+    # overhead; ~320k docs gives a 1.5-3 s window that measures the
+    # pipeline itself while keeping the per-round bench cheap.
     corpus = os.path.join(tempfile.gettempdir(), "bench_main_corpus")
-    prepare_corpus(spark, SF_DIR, mult=4, n_files=32, out=corpus)
+    prepare_corpus(spark, SF_DIR, mult=64, n_files=64, out=corpus)
     models = train_quality_models(_pages(spark, SF_DIR, 1))
     pipeline_run(spark, corpus, models)  # warm-up
     # best-of-2 clean-window timed runs (same rationale and gate as
