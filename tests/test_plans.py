@@ -81,3 +81,28 @@ def test_lsh_topk_broadcasts_probe_side(spark, sf_dir):
     # exploded probe buckets stay on the broadcast side; the corpus is
     # scanned, never shuffled, before the candidate join
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cavnar_predict_broadcasts_lang_profile(spark, sf_dir):
+    """J4 relational serving: the (≤ L×400-row) lang profile must reach
+    the doc-side grams via a BROADCAST join — shuffling the exploded doc
+    grams against it would move the corpus."""
+    import __spark_entry__ as entrymod
+    from language_identification_spark.plans.asserts import explain_str
+
+    df = entrymod.queries()["cavnar_predict"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_dedup_plan_shape(spark, sf_dir):
+    """Incremental dedup must stay a keyed join family: no cartesian
+    product, no window over the banded tables (the hot-bucket guard's
+    contract), candidates deduped before the verify joins."""
+    import __spark_entry__ as entrymod
+    from language_identification_spark.plans.asserts import explain_str
+
+    df = entrymod.queries()["dedup_incremental"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
