@@ -69,3 +69,27 @@ def write_bucketed(
         .partitionBy("bucket")
         .parquet(os.path.join(location, name))
     )
+
+
+def write_join_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style ``bucketBy`` table: a later equi-join whose keys include
+    ``bucket_col`` reads THIS side with NO Exchange — the (smaller) other
+    side shuffles to match. This is how the 100 TB incremental-dedup
+    index (operators/dedup.minhash_band_index) avoids reshuffling the
+    corpus index on every daily shard join; it is the parquet stand-in
+    for Iceberg's ``bucket(N, col)`` partition spec (``write_bucketed``
+    above gives partition PRUNING, not join co-location — different
+    tool). Requires reading back via ``spark.table(table_name)``: bucket
+    metadata lives in the catalog, not the files."""
+    w = df.write.mode(mode).option("path", path).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table_name)

@@ -106,3 +106,38 @@ def test_incremental_dedup_plan_shape(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bucketed_index_join_has_no_exchange_on_index_side(spark, pages_df, tmp_path):
+    """100 TB evidence for incremental dedup: persist the minhash band
+    index as a bucketBy(bh) table, and the daily shard join must read the
+    index WITHOUT an Exchange — only the (small) incoming side shuffles."""
+    from language_identification_spark.operators.dedup import minhash_band_index
+    from language_identification_spark.plans.asserts import explain_str
+    from language_identification_spark.sources.catalog import write_join_bucketed
+
+    docs = pages_df.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    ).limit(200)
+    idx = minhash_band_index(docs, id_col="doc_id")
+    write_join_bucketed(
+        idx, "band_index_plan_test", str(tmp_path / "band_idx"), "bh", n_buckets=8
+    )
+    try:
+        stored = spark.table("band_index_plan_test")
+        new_bands = minhash_band_index(
+            docs.withColumn("doc_id", F.col("doc_id") + 10_000), id_col="doc_id"
+        )
+        joined = new_bands.join(
+            stored.withColumnRenamed("id", "corpus_id"), ["band", "bh"]
+        )
+        plan = explain_str(joined)
+        # exactly one shuffle: the incoming side; the bucketed index scans
+        # straight into the join
+        from language_identification_spark.plans.asserts import count_exchanges
+
+        assert "band_index_plan_test" in plan
+        assert count_exchanges(joined) <= 1, plan
+        assert joined.count() > 0  # identical docs -> same bands collide
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_plan_test")
