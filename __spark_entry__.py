@@ -683,6 +683,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         return similarity.lsh_topk(e, [0, 1, 2], k=5, n_planes=6)
 
+    def ann_ivf_topk(spark, sf):
+        # IVF variant of ANN (task brief: "IVF or LSH-bucketed"): sampled
+        # coarse centroids (Knuth-hash order — deterministic AND SQL-
+        # expressible, unlike iterative KMeans), integer-exact quantized-L2
+        # list assignment, n_probe nearest lists per query, exact cosine
+        # re-rank inside probed lists. FULL gate: assignment/probing is
+        # pure int64 in both engines.
+        e = _t(spark, sf, "embeddings")
+        return similarity.ivf_topk(e, [0, 1, 2], k=5, n_lists=32, n_probe=4)
+
     def media_features(spark, sf):
         # Long form (media_id, kind, dim_idx, value_milli, n_bytes): scalar
         # columns the gate can canonicalize (array<float> broke the r1
@@ -753,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "simhash_sigs": simhash_sigs,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
     }
 
@@ -806,9 +817,11 @@ def _duck_bucket_ctes(n_planes: int, seed: int = 7, dim: int = 64) -> str:
     """
 
 
+# Denominator floored at 1e-300 exactly like similarity.cosine_expr:
+# bit-identical for real vectors, defined (0.0) for zero-norm embeddings.
 _DUCK_COS = (
     "list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " / greatest(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 1e-300)"
 )
 
 
@@ -1479,6 +1492,66 @@ def oracle_sql() -> dict[str, str]:
           JOIN szn sn ON sn.id = i.new_id
           JOIN szc sc ON sc.id = i.corpus_id
           WHERE i.inter::DOUBLE / (sn.sz + sc.sz - i.inter) >= 0.8
+        """,
+        "ann_ivf_topk": f"""
+          WITH cents0 AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+            FROM embeddings
+            ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+            LIMIT 32
+          ),
+          cents AS (
+            SELECT row_number() OVER (
+                     ORDER BY (cid * 2654435761) % 4294967296, cid) - 1 AS list_id,
+                   list_transform(cvec, x -> floor(x * 1000000 + 0.5))::BIGINT[] AS cq
+            FROM cents0
+          ),
+          v AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS ve,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 1000000 + 0.5))::BIGINT[] AS vq
+            FROM embeddings
+          ),
+          -- integer L2² via the dot-product identity; every intermediate
+          -- is an integer < 2^53 so the DOUBLE dots are exact
+          dists AS (
+            SELECT v.id, c.list_id,
+                   (list_dot_product(v.vq::DOUBLE[], v.vq::DOUBLE[])
+                    + list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[])
+                    - 2 * list_dot_product(v.vq::DOUBLE[], c.cq::DOUBLE[]))::BIGINT AS l2q
+            FROM v CROSS JOIN cents c
+          ),
+          assigned AS (
+            SELECT id, list_id FROM (
+              SELECT id, list_id,
+                     row_number() OVER (PARTITION BY id ORDER BY l2q, list_id) AS rn
+              FROM dists
+            ) WHERE rn = 1
+          ),
+          probes AS (
+            SELECT id AS query_id, list_id FROM (
+              SELECT id, list_id,
+                     row_number() OVER (PARTITION BY id ORDER BY l2q, list_id) AS rn
+              FROM dists WHERE id IN (0, 1, 2)
+            ) WHERE rn <= 4
+          ),
+          cand AS (
+            SELECT p.query_id, a.id AS neighbor_id
+            FROM probes p JOIN assigned a USING (list_id)
+            WHERE a.id != p.query_id
+          ),
+          scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {_DUCK_COS.format(a="qv.ve", b="nv.ve")} AS cos
+            FROM cand c
+            JOIN v qv ON qv.id = c.query_id
+            JOIN v nv ON nv.id = c.neighbor_id
+          )
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rk
+            FROM scored
+          ) WHERE rk <= 5
         """,
         "ann_lsh_topk": f"""
           WITH src AS (SELECT vec_id, embedding FROM embeddings),

@@ -19,13 +19,18 @@ from pyspark.sql import functions as F
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Double-precision cosine of two array<float> columns, JVM-side."""
+    """Double-precision cosine of two array<float> columns, JVM-side.
+
+    The denominator is floored at 1e-300: bit-identical for any real
+    vector (norms ≫ 1e-300) but a zero-norm embedding — dead docs exist
+    in real corpora — yields cosine 0.0 instead of an ANSI
+    DIVIDE_BY_ZERO job abort. The DuckDB twin applies the same floor."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return dot / F.greatest(na * nb, F.lit(1e-300))
 
 
 def brute_force_topk(
@@ -157,6 +162,115 @@ def lsh_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         cosine_expr(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+# Knuth multiplicative hash constant — deterministic pseudo-random centroid
+# sampling computable identically in Spark SQL and DuckDB (plain integer
+# arithmetic; xxhash64 exists only on the Spark side).
+KNUTH = 2_654_435_761
+
+
+def _quantized(col: Column) -> Column:
+    """array<float> → array<long> on the 1e-6 grid (same floor(x·1e6+0.5)
+    convention as quantize_components — exact across engines)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * BUCKET_QUANT + F.lit(0.5)).cast("long")
+    )
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two quantized arrays. Pure int64
+    (no float summation-order hazard): (2e6)² · dim ≪ 2^63."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 32,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: inverted lists under a coarse quantizer, queries
+    probe the ``n_probe`` nearest lists, exact cosine re-rank inside the
+    probed lists only (the task brief's "IVF variant" next to
+    :func:`lsh_topk`).
+
+    Coarse centroids are the ``n_lists`` corpus vectors with the smallest
+    Knuth multiplicative hash of their id — a deterministic, bit-
+    reproducible, SQL-expressible sample (so the whole operator gets a
+    FULL DuckDB gate; iterative KMeans has no SQL twin). Production swaps
+    in ``pyspark.ml.clustering.KMeans`` centroids with the identical
+    assignment/probe/re-rank plan — sampled coarse centroids are the
+    standard cheap quantizer when training is skipped.
+
+    Exactness discipline: list ASSIGNMENT is argmin of integer squared-L2
+    on the 1e-6 quantized grid (no float order hazard ⇒ both engines
+    assign identically); only the final ranking cosine is float, rounded
+    at 6 with id tie-break like every embedding gate.
+
+    Scale shape: assignment is one broadcast of ``n_lists`` centroids +
+    a map-side-combined min_by aggregation (no window over the corpus);
+    at rest the corpus would be written bucketed by ``list_id`` so a
+    query reads only its probed lists.
+    """
+    h = (F.col(id_col) * F.lit(KNUTH)) % F.lit(2**32)
+    cents = (
+        emb.orderBy(h.asc(), F.col(id_col).asc())
+        .limit(n_lists)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    cw = Window.orderBy(
+        ((F.col("cid") * F.lit(KNUTH)) % F.lit(2**32)).asc(), F.col("cid").asc()
+    )
+    cents = cents.withColumn("list_id", F.row_number().over(cw) - 1).select(
+        "list_id", F.col("cvec").alias("cvec"), _quantized(F.col("cvec")).alias("cq")
+    )
+
+    qemb = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _quantized(F.col(vec_col)).alias("vq")
+    )
+    with_l2 = qemb.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "list_id", _int_l2(F.col("vq"), F.col("cq")).alias("l2q")
+    )
+    # corpus assignment: min_by aggregation (map-side combined), NOT a
+    # window over the corpus×n_lists rows
+    assigned = with_l2.groupBy("id").agg(
+        F.expr("min_by(named_struct('list_id', list_id, 'v', v), named_struct('l2q', l2q, 'list_id', list_id))").alias("m")
+    ).select("id", F.col("m.list_id").alias("list_id"), F.col("m.v").alias("v"))
+
+    probes = (
+        with_l2.filter(F.col("id").isin(query_ids))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("l2q").asc(), F.col("list_id").asc())
+            ),
+        )
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "list_id")
+    )
+
+    cand = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_expr(F.col("qv"), F.col("v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -282,3 +282,30 @@ def test_incremental_near_duplicates(spark):
     idx = minhash_band_index(corpus, n=8)
     out2 = incremental_near_duplicates(new, corpus, index=idx, n=8, threshold=0.8)
     assert {(r["new_id"], r["corpus_id"]) for r in out2.collect()} == got
+
+
+def test_ivf_topk_recall(spark):
+    """IVF recall on clustered vectors (its intended regime): a query's
+    true neighbors share its cluster, so probing the nearest lists finds
+    them. Uniform-random vectors have no recoverable neighbors — same
+    caveat as the LSH recall test."""
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((10, 32)) * 3
+    rows = []
+    for i in range(400):
+        v = centers[i % 10] + rng.standard_normal(32) * 0.3
+        rows.append((i, v.astype(float).tolist()))
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.brute_force_topk(df, qids, k=5).collect()
+    approx = similarity.ivf_topk(df, qids, k=5, n_lists=16, n_probe=4).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
