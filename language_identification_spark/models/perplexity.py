@@ -82,11 +82,11 @@ class BigramLM:
         return self.lut[cps]
 
     def perplexity(self, text: str) -> float:
-        if not text:
-            return float("inf")
-        ids = self._ids(text)
-        lp = self.logprob[ids[:-1], ids[1:]]
-        return float(np.exp(-lp.mean()))
+        """Single-doc convenience wrapper over :meth:`perplexity_batch` —
+        delegation (not a parallel implementation) is what guarantees the
+        two public APIs are bit-identical: the *_batch functions are the
+        bit-pinned contract and this inherits it."""
+        return float(self.perplexity_batch([text])[0])
 
     def perplexity_batch(self, texts) -> np.ndarray:
         """WHOLE-BATCH, CHUNKED perplexity: every padded segment

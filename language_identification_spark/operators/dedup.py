@@ -31,6 +31,20 @@ from ..functions.text import char_ngrams
 # 31-bit Mersenne prime: (a*h+b) stays < 2^62, safe for int64 ANSI math
 MERSENNE31 = (1 << 31) - 1
 
+# Live persisted intermediates created by the LSH family. A registry (not
+# an attribute on the returned DataFrame) because any downstream transform
+# (select/filter/...) returns a NEW DataFrame without custom attributes —
+# release must not depend on callers preserving the original object.
+# Draining is always safe: the cached tables are recomputable lineage, so
+# the worst case of an early release is recompute cost, never wrong rows.
+_LIVE_PAIR_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    df.persist()
+    _LIVE_PAIR_CACHES.append(df)
+    return df
+
 
 def exact_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -118,14 +132,15 @@ def _bucket_self_join(
     full banded table. ``banded`` feeds several consumers (hot scan + both
     join sides + star), and its lineage usually contains an expensive
     signature UDF, so it is persisted. The cache lives until explicitly
-    released: the persisted handle rides on the returned DataFrame and
-    :func:`release_pair_cache` unpersists it once the pairs have been
-    materialized (long-lived sessions that skip this keep the
-    MEMORY_AND_DISK blocks for the life of the SparkContext).
+    released: the persisted handle is tracked in the module-level
+    ``_LIVE_PAIR_CACHES`` registry and :func:`release_pair_cache`
+    unpersists it once the pairs have been materialized (long-lived
+    sessions that skip this keep the MEMORY_AND_DISK blocks for the life
+    of the SparkContext).
     """
     persisted = None
     if max_bucket is not None:
-        banded = persisted = banded.persist()
+        banded = persisted = _register_cache(banded)
         hot = (
             banded.groupBy(*key_cols)
             .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin"))
@@ -148,20 +163,25 @@ def _bucket_self_join(
     )
     if star is not None:
         pairs = pairs.unionAll(star)
-    pairs = pairs.distinct()
-    pairs._lid_pair_cache = persisted  # for release_pair_cache
-    return pairs
+    del persisted  # released later via release_pair_cache (registry)
+    return pairs.distinct()
 
 
-def release_pair_cache(pairs: DataFrame) -> None:
-    """Unpersist the banded-signature cache backing a candidate-pairs (or
-    near-duplicates) DataFrame from the LSH family. Call AFTER the pairs
-    have been materialized (write/collect); no-op if nothing was cached.
-    Without this, each guarded LSH call leaves its MEMORY_AND_DISK blocks
-    cached for the rest of the SparkContext's life."""
-    cached = getattr(pairs, "_lid_pair_cache", None)
-    if cached is not None:
-        cached.unpersist()
+def release_pair_cache(pairs: DataFrame | None = None) -> None:
+    """Unpersist EVERY live cache created by the LSH family (banded
+    signatures, candidate-id sets). Call AFTER the pairs have been
+    materialized (write/collect); no-op if nothing was cached. Without
+    this, each guarded LSH call leaves its MEMORY_AND_DISK blocks cached
+    for the rest of the SparkContext's life.
+
+    Drains a module-level registry, so it works no matter what transforms
+    the caller applied to the returned pairs (a ``.select()`` returns a
+    fresh DataFrame — an attribute riding on the original object would
+    silently make release a no-op). The ``pairs`` argument is accepted for
+    back-compat and ignored."""
+    del pairs
+    while _LIVE_PAIR_CACHES:
+        _LIVE_PAIR_CACHES.pop().unpersist()
 
 
 def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -403,7 +423,6 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._lid_pair_cache = getattr(cand, "_lid_pair_cache", None)
     return out
 
 
@@ -511,5 +530,4 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
     )
     out = pairs.filter(F.col("cosine") >= threshold)
-    out._lid_pair_cache = getattr(cand, "_lid_pair_cache", None)
     return out

@@ -45,11 +45,24 @@ def input_snapshot_id(pages: DataFrame) -> str:
     return hashlib.sha1("\n".join(files).encode()).hexdigest()[:16]
 
 
-def completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
+def completed_buckets(
+    spark: SparkSession, lineage_dir: str, input_snapshot: str | None = None
+) -> set[int]:
+    """Buckets whose lineage marks them done. A bucket whose only lineage
+    rows are ``n_input = 0`` is complete only FOR THE SNAPSHOT that
+    produced them: if the input snapshot has since changed, rows may have
+    appeared in that bucket, so it re-opens. Non-empty buckets stay
+    complete regardless (their output already landed; reprocessing them
+    under a changed snapshot is a full re-run decision, not a resume).
+    Pass ``input_snapshot=None`` for the legacy any-row-counts behavior."""
     if not os.path.exists(lineage_dir):
         return set()
-    rows = spark.read.parquet(lineage_dir).select("bucket").distinct().collect()
-    return {r["bucket"] for r in rows}
+    rows = spark.read.parquet(lineage_dir)
+    if input_snapshot is not None:
+        rows = rows.filter(
+            (F.col("n_input") > 0) | (F.col("input_snapshot") == input_snapshot)
+        )
+    return {r["bucket"] for r in rows.select("bucket").distinct().collect()}
 
 
 def run_resumable(
@@ -69,7 +82,7 @@ def run_resumable(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     snapshot = input_snapshot_id(pages)
-    done = completed_buckets(spark, lineage_dir)
+    done = completed_buckets(spark, lineage_dir, input_snapshot=snapshot)
     pending = sorted(set(range(n_buckets)) - done)
     if only_buckets is not None:
         pending = sorted(set(pending) & only_buckets)

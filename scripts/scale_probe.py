@@ -36,8 +36,9 @@ def _our_cpu_jiffies() -> int:
         try:
             f = open(p).read().rsplit(")", 1)[1].split()
             tot += int(f[11]) + int(f[12]) + int(f[13]) + int(f[14])
-        except OSError:
-            pass  # process exited between glob and read
+        except (OSError, IndexError, ValueError):
+            pass  # process exited between glob and read (read can also
+            # return an empty/truncated string, not just raise)
     return tot
 
 
@@ -66,8 +67,11 @@ def others_fraction(before: tuple, after: tuple, ncpu: int | None = None) -> flo
     (v0, o0, t0), (v1, o1, t1) = before, after
     ncpu = ncpu or os.cpu_count() or 32
     cap = max((t1 - t0) * 100.0 * ncpu, 1.0)
-    busy0 = v0[0] + v0[1] + v0[2] + v0[5] + v0[6] + v0[7]
-    busy1 = v1[0] + v1[1] + v1[2] + v1[5] + v1[6] + v1[7]
+    # steal (v[7]) is deliberately EXCLUDED from the busy sum: it is gated
+    # separately by steal_fraction, and counting it here would double-bill
+    # hypervisor theft against the co-tenant threshold.
+    busy0 = v0[0] + v0[1] + v0[2] + v0[5] + v0[6]
+    busy1 = v1[0] + v1[1] + v1[2] + v1[5] + v1[6]
     return max((busy1 - busy0) - (o1 - o0), 0) / cap
 
 

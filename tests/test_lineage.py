@@ -55,3 +55,46 @@ def test_resume_exactly_once(spark, pages_df, tmp_path):
     # Lineage attrition numbers line up with the output.
     total_kept = lineage.agg(F.sum("n_kept")).first()[0]
     assert total_kept == resumed.filter("keep").count()
+
+
+def test_empty_bucket_reopens_on_new_snapshot(spark, pages_df, tmp_path):
+    """ADVICE r3: a zero-input bucket's lineage row marks it complete only
+    for the snapshot that produced it. When the input snapshot changes
+    (rows may now exist in that bucket), the empty bucket re-opens; buckets
+    that actually produced output stay complete."""
+    from language_identification_spark.pipeline.lineage import bucket_expr
+
+    models = train_quality_models(pages_df.filter("split = 'train'"))
+    out_dir = str(tmp_path / "out")
+    lin_dir = str(tmp_path / "lineage")
+    src = str(tmp_path / "pages_src")
+
+    with_b = pages_df.withColumn("b", bucket_expr("url", N_BUCKETS))
+    empty_bucket = with_b.groupBy("b").count().orderBy("b").first()["b"]
+    with_b.filter(F.col("b") != empty_bucket).drop("b").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    first = run_resumable(
+        spark, spark.read.parquet(src), models, out_dir, lin_dir, N_BUCKETS
+    )
+    assert first == list(range(N_BUCKETS))  # all pending, incl. the empty one
+    lineage = spark.read.parquet(lin_dir)
+    assert (
+        lineage.filter(F.col("bucket") == empty_bucket).first()["n_input"] == 0
+    )
+
+    # Same snapshot → nothing pending (empty bucket stays complete).
+    assert run_resumable(
+        spark, spark.read.parquet(src), models, out_dir, lin_dir, N_BUCKETS
+    ) == []
+
+    # New snapshot with rows in the formerly-empty bucket → ONLY that
+    # bucket re-opens.
+    with_b.drop("b").write.mode("overwrite").parquet(src)
+    second = run_resumable(
+        spark, spark.read.parquet(src), models, out_dir, lin_dir, N_BUCKETS
+    )
+    assert second == [empty_bucket]
+    out = spark.read.parquet(out_dir)
+    assert out.count() == pages_df.count()

@@ -219,12 +219,17 @@ def test_release_pair_cache(spark, sf_dir):
     jsc = spark.sparkContext._jsc.sc()
     baseline = jsc.getPersistentRDDs().size()  # other suites may cache too
     pairs = minhash_near_duplicates(docs, threshold=0.5)
-    pairs.count()  # materialize
+    # ADVICE r3: release must survive downstream transforms — every entry
+    # query applies a .select(), which returns a NEW DataFrame (an
+    # attribute-based handle would silently make release a no-op).
+    projected = pairs.select("id_a", "id_b")
+    projected.count()  # materialize
     assert jsc.getPersistentRDDs().size() > baseline  # cache in use
-    release_pair_cache(pairs)
+    release_pair_cache(projected)
     assert jsc.getPersistentRDDs().size() == baseline
-    # no-op on an uncached frame
+    # no-op on an uncached frame / with no argument
     release_pair_cache(docs)
+    release_pair_cache()
 
 
 def test_split_empty_regex_boundary(spark):
