@@ -674,6 +674,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def dedup_components(spark, sf):
+        # Connected components + canonical selection over near-dup pairs —
+        # the grouping step that turns pairwise evidence into one-survivor-
+        # per-cluster. TWO planted perturbations per base doc (' zz' and
+        # ' qq' suffixes, ids +10000/+20000) make every component a
+        # 3-node clique, so the gate exercises transitivity, not just
+        # pair mirroring. FULL gate: the same LSH-equals-exact-Jaccard
+        # argument as minhash_near_dups (miss prob ~3e-10 per planted
+        # pair) means the operator's edge set equals the exact pair set
+        # the twin's recursive CTE closes over; given equal edges,
+        # min-label components are deterministic.
+        d = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+        )
+        p1 = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        p2 = d.select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat("text", F.lit(" qq")).alias("text"),
+        )
+        pairs = dedup.minhash_near_duplicates(
+            d.unionAll(p1).unionAll(p2), n=8, threshold=0.8
+        )
+        return dedup.dedup_components(pairs).select("id", "canonical_id")
+
     def simhash_sigs(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
         return dedup.simhash_64(d)
@@ -761,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": revenue_join,
         "minhash_near_dups": minhash_near_dups,
         "dedup_incremental": dedup_incremental,
+        "dedup_components": dedup_components,
         "simhash_sigs": simhash_sigs,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1460,6 +1490,46 @@ def oracle_sql() -> dict[str, str]:
           JOIN sz sa ON sa.id = i.id_a
           JOIN sz sb ON sb.id = i.id_b
           WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.8
+        """,
+        "dedup_components": """
+          WITH RECURSIVE aug AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 10000, text || ' zz'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 20000, text || ' qq'
+            FROM documents WHERE doc_id % 5 = 0
+          ),
+          sh AS (
+            SELECT DISTINCT s.doc_id AS id, substr(s.text, t.i::INT, 8) AS shingle
+            FROM aug s, LATERAL unnest(range(1, len(s.text) - 7 + 1)) AS t(i)
+          ),
+          sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sz sa ON sa.id = i.id_a
+            JOIN sz sb ON sb.id = i.id_b
+            WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.8
+          ),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+          ),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id, id AS lab FROM nodes
+            UNION
+            SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+          )
+          SELECT id, min(lab) AS canonical_id FROM reach GROUP BY id
         """,
         "dedup_incremental": """
           WITH corpus AS (

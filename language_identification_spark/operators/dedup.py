@@ -46,6 +46,32 @@ def _register_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every persistent RDD registered with the SparkContext
+    (includes localCheckpoint blocks, which are invisible to the SQL
+    CacheManager)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+class _CkptBlocks:
+    """Unpersist handle for localCheckpoint blocks, identified by RDD id
+    (``DataFrame.rdd.unpersist()`` cannot free them: ``.rdd`` wraps a
+    different, python-converted RDD). Quacks like a persisted DataFrame
+    for the :data:`_LIVE_PAIR_CACHES` registry."""
+
+    def __init__(self, spark, rdd_ids: set[int]):
+        self._jsc = spark.sparkContext._jsc
+        self._ids = rdd_ids
+
+    def unpersist(self) -> None:
+        jmap = self._jsc.getPersistentRDDs()
+        for rid in self._ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist()
+        self._ids = set()
+
+
 def exact_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -531,3 +557,115 @@ def embedding_near_duplicates(
     )
     out = pairs.filter(F.col("cosine") >= threshold)
     return out
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, canonical_id) connected components over an undirected near-dup
+    pair list — the grouping step that turns pairwise evidence into "keep
+    one doc per duplicate cluster". canonical_id = the component's minimum
+    id (deterministic: min wins), so filtering to ``id = canonical_id``
+    yields exactly one survivor per cluster. Only ids that appear in a
+    pair are returned (singletons are trivially their own canonical).
+
+    Algorithm: iterative min-label propagation over keyed joins, plus a
+    pointer-jumping step (label := label(label)) per round. Propagation
+    alone converges in O(diameter) rounds; the jump compresses label
+    chains so long path-shaped clusters converge in O(log n). No
+    GraphFrames dependency — three joins/round over the (id, label) table,
+    which is two BIGINTs per node regardless of document size, so at
+    100 TB of documents the label table is a few GB and every round is a
+    cheap co-partitioned shuffle. Each round ends in ``localCheckpoint``:
+    iterative lineage otherwise grows the plan exponentially (a real
+    cluster job would use a reliable checkpoint dir instead; the
+    previous round's blocks are freed as soon as the new round is
+    materialized).
+
+    This operator is the consumer of the hot-bucket STAR-pair contract in
+    :func:`_bucket_self_join`: star pairs are a spanning subset of each
+    flooded bucket, so components computed from them equal components
+    computed from exhaustive pairs (pinned by
+    tests/test_operators.py::test_components_star_equals_all_pairs).
+
+    Termination: a round with zero label changes is a certificate that
+    labels are constant on every component; since the component min keeps
+    its own label and labels never go below it, that constant is the min.
+    """
+    spark = pairs.sparkSession
+
+    def ckpt(df: DataFrame) -> tuple[DataFrame, _CkptBlocks]:
+        """Eager localCheckpoint + a handle to ITS persistent-RDD blocks
+        (``df.rdd.unpersist()`` would not touch them: ``.rdd`` wraps a
+        different, python-converted RDD)."""
+        before = _persistent_rdd_ids(spark)
+        out = df.localCheckpoint()  # eager: blocks exist on return
+        return out, _CkptBlocks(spark, _persistent_rdd_ids(spark) - before)
+
+    # Truncate the (usually LSH-derived, UDF-heavy) upstream lineage once;
+    # every round re-reads edges.
+    edges, edge_blocks = ckpt(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels, label_blocks = ckpt(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        # Inner joins are total: edges are symmetric so every node is some
+        # edge's dst (nb_min covers all ids), and every label value is
+        # itself a node id (mins over node ids), so the jump join hits.
+        prop = labels.join(nb_min, "id").select(
+            "id", F.least("label", "nb_min").alias("label")
+        )
+        # Pointer jump: label := label(label) — compresses label chains so
+        # path-shaped clusters converge in O(log n), not O(diameter).
+        parent = prop.select(
+            F.col("id").alias("label"), F.col("label").alias("parent")
+        )
+        new_labels, new_blocks = ckpt(
+            prop.join(parent, "label").select("id", F.col("parent").alias("label"))
+        )
+        converged = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        label_blocks.unpersist()  # previous round, no longer referenced
+        labels, label_blocks = new_labels, new_blocks
+        if converged:
+            break
+    # The final labels are materialized blocks — edges are no longer
+    # needed; the final label blocks must outlive this call (the caller
+    # has not consumed the result yet), so they go on the release
+    # registry like every other LSH-family cache.
+    edge_blocks.unpersist()
+    _LIVE_PAIR_CACHES.append(label_blocks)
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
+def canonical_documents(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's canonical (min-id)
+    document: df minus {ids that belong to a component but are not its
+    canonical}. Narrow on the corpus side — the drop list (non-canonical
+    members) is a fraction of the pair ids, shuffled as bare BIGINTs."""
+    comp = dedup_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("canonical_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

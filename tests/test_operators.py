@@ -314,3 +314,69 @@ def test_ivf_topk_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_dedup_components_basic(spark):
+    """Chain (exercises pointer jumping), star, and isolated pair all
+    resolve to min-id canonicals; only pair-participating ids appear."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),  # chain
+         (20, 21), (20, 22), (20, 23),                            # star
+         (100, 101)],
+        "id_a long, id_b long",
+    )
+    got = sorted(map(tuple, dedup.dedup_components(pairs).collect()))
+    exp = sorted(
+        [(i, 1) for i in range(1, 9)]
+        + [(i, 20) for i in (20, 21, 22, 23)]
+        + [(100, 100), (101, 100)]
+    )
+    assert got == exp
+    dedup.release_pair_cache()
+
+
+def test_components_star_equals_all_pairs(spark):
+    """The hot-bucket guard contract's consumer: a flooded bucket's STAR
+    pair subset must produce the same components (hence same canonical
+    docs) as the exhaustive all-pairs enumeration."""
+    import itertools
+
+    members = list(range(10, 17))
+    allp = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(members, 2)],
+        "id_a long, id_b long",
+    )
+    star = spark.createDataFrame(
+        [(members[0], m) for m in members[1:]], "id_a long, id_b long"
+    )
+    got_all = sorted(map(tuple, dedup.dedup_components(allp).collect()))
+    got_star = sorted(map(tuple, dedup.dedup_components(star).collect()))
+    assert got_all == got_star == [(m, members[0]) for m in members]
+    dedup.release_pair_cache()
+
+
+def test_components_via_lsh_guard(spark, dup_docs):
+    """End-to-end: LSH pairs with a tiny max_bucket (guard active) vs
+    unguarded — identical components either way, and canonical_documents
+    keeps exactly one survivor per duplicate cluster."""
+    guarded = dedup.minhash_near_duplicates(
+        dup_docs, threshold=0.5, max_bucket=2
+    )
+    exact = dedup.minhash_near_duplicates(
+        dup_docs, threshold=0.5, max_bucket=None
+    )
+    cg = sorted(map(tuple, dedup.dedup_components(guarded).collect()))
+    ce = sorted(map(tuple, dedup.dedup_components(exact).collect()))
+    assert cg == ce
+    assert len(cg) >= 3  # the planted 0/1/2(/3) cluster participates
+
+    kept = dedup.canonical_documents(dup_docs, exact)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # one survivor (min id = 0) for the planted cluster, everything else kept
+    comp = dict(ce)
+    dropped = {i for i, c in comp.items() if i != c}
+    assert kept_ids == sorted(
+        r["doc_id"] for r in dup_docs.collect() if r["doc_id"] not in dropped
+    )
+    assert 0 in kept_ids and 1 not in kept_ids and 2 not in kept_ids
+    dedup.release_pair_cache()
