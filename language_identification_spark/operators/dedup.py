@@ -360,7 +360,7 @@ def incremental_near_duplicates(
         index = minhash_band_index(corpus_df, id_col, text_col, n, n_hashes, bands, seed)
     new_sigs = minhash_signatures(new_df, id_col, text_col, n, n_hashes, seed)
     new_bands = _band_table(new_sigs, bands, n_hashes)
-    cand = (
+    cand = _register_cache(
         new_bands.join(
             index.select(F.col("id").alias("corpus_id"), "band", "bh"),
             ["band", "bh"],
@@ -368,13 +368,33 @@ def incremental_near_duplicates(
         .select(F.col("id").alias("new_id"), "corpus_id")
         .distinct()
     )
-    shn = new_df.select(
-        F.col(id_col).alias("new_id"),
-        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)).alias("sh_n"),
+    # Candidate-first verify: semi-join both document sides on the
+    # (distinct, usually tiny) candidate id sets BEFORE computing shingle
+    # arrays — at 100 TB the corpus side would otherwise re-shingle every
+    # document just to verify a handful of collisions. ``cand`` feeds
+    # three consumers (two semi-joins + the verify join), hence the
+    # persist above (released via release_pair_cache).
+    shn = (
+        new_df.join(
+            cand.select("new_id"), F.col(id_col) == F.col("new_id"), "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.array_distinct(
+                char_ngrams(F.col(text_col), n, reference_pad=False)
+            ).alias("sh_n"),
+        )
     )
-    shc = corpus_df.select(
-        F.col(id_col).alias("corpus_id"),
-        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)).alias("sh_c"),
+    shc = (
+        corpus_df.join(
+            cand.select("corpus_id"), F.col(id_col) == F.col("corpus_id"), "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            F.array_distinct(
+                char_ngrams(F.col(text_col), n, reference_pad=False)
+            ).alias("sh_c"),
+        )
     )
     return (
         cand.join(shn, "new_id")
@@ -424,10 +444,26 @@ def minhash_near_duplicates(
     :func:`release_pair_cache` on the result after materializing it.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
-    cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)).alias("sh"),
+    cand = _register_cache(minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket))
+    # Candidate-first verify: semi-join the corpus on the (distinct,
+    # usually tiny) candidate id set BEFORE computing shingle arrays —
+    # without it every document is re-shingled just to verify the few
+    # that collided in some band. ``cand`` feeds three consumers (the id
+    # set + both sides of the verify join), hence the persist (released
+    # via release_pair_cache).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .unionAll(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                char_ngrams(F.col(text_col), n, reference_pad=False)
+            ).alias("sh"),
+        )
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

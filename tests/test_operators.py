@@ -217,6 +217,7 @@ def test_release_pair_cache(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     jsc = spark.sparkContext._jsc.sc()
+    release_pair_cache()  # drain leftovers from earlier tests in this session
     baseline = jsc.getPersistentRDDs().size()  # other suites may cache too
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     # ADVICE r3: release must survive downstream transforms — every entry

@@ -141,3 +141,41 @@ def test_bucketed_index_join_has_no_exchange_on_index_side(spark, pages_df, tmp_
         assert joined.count() > 0  # identical docs -> same bands collide
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_plan_test")
+
+
+def _assert_verify_shingles_semi_joined(df, out_aliases):
+    """Every verify-stage shingle Project (aliasing to the output id
+    columns) must sit DIRECTLY above a LeftSemi join on the candidate id
+    set — i.e. shingles are computed only for candidates, never for the
+    whole corpus. The signature-stage shingle Project (aliased to the
+    plain ``id``) is intentionally not matched: it must see all docs."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "array_distinct(zip_with" in line and any(
+            f" AS {a}#" in line for a in out_aliases
+        ):
+            hits += 1
+            assert "LeftSemi" in lines[i + 1], (
+                f"verify shingle Project not above a candidate semi-join:\n"
+                f"{line}\n{lines[i + 1]}"
+            )
+    assert hits >= 2, f"expected >=2 verify shingle Projects, found {hits}\n{plan}"
+
+
+def test_lsh_verify_is_candidate_first(spark, sf_dir):
+    """r4: both LSH verify stages semi-join the document sides on the
+    (distinct, tiny) candidate id set BEFORE re-shingling — at 100 TB the
+    corpus must not be re-shingled to verify a handful of collisions."""
+    from language_identification_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = dedup.minhash_near_duplicates(docs.limit(100), threshold=0.5)
+    _assert_verify_shingles_semi_joined(near, ("id_a", "id_b"))
+
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    inc = dedup.incremental_near_duplicates(new, corpus, threshold=0.5)
+    _assert_verify_shingles_semi_joined(inc, ("new_id", "corpus_id"))
+    dedup.release_pair_cache()
