@@ -232,6 +232,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lang_guess_script(F.col("text")).alias("script_guess"),
         )
 
+    def gopher_scores(spark, sf):
+        # r4 Gopher/C4 heuristic completion: stop-word fraction (broadcast
+        # per-fixture-language lexicon), bullet/ellipsis line ratios,
+        # duplicate-line fraction — all native SQL columns
+        # (functions/text.with_quality_columns). The documents table is
+        # single-line, so the gate PLANTS per-row line structure
+        # (doc_id % 4 modes: bullet line + dup line / ellipsis line /
+        # tripled line / untouched) identically in both engines; ratios
+        # are exact small-integer divisions, round(6) for the hash.
+        from language_identification_spark.functions.text import (
+            with_quality_columns,
+        )
+
+        d = _t(spark, sf, "documents")
+        mode = F.col("doc_id") % 4
+        txt = (
+            F.when(
+                mode == 0,
+                F.concat(
+                    F.col("text"), F.lit("\n- "), F.substring("text", 1, 20),
+                    F.lit("\n"), F.col("text"),
+                ),
+            )
+            .when(
+                mode == 1,
+                F.concat(F.col("text"), F.lit("\n"), F.substring("text", 1, 15), F.lit("...")),
+            )
+            .when(mode == 2, F.concat_ws("\n", "text", "text", "text"))
+            .otherwise(F.col("text"))
+        )
+        out = with_quality_columns(d.select("doc_id", txt.alias("t")), "t")
+        return out.select(
+            "doc_id",
+            "n_words",
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("bullet_line_ratio", 6).alias("bullet_line_ratio"),
+            F.round("ellipsis_line_ratio", 6).alias("ellipsis_line_ratio"),
+            F.round("dup_line_ratio", 6).alias("dup_line_ratio"),
+        )
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -570,6 +610,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("lang", "feat", "prob", "rk")
         )
 
+    def feature_log_odds_topk(spark, sf):
+        # W5 (feature-level importance) with a FULL oracle: smoothed
+        # one-vs-rest log-odds of each char bigram per language — the
+        # closed-form importance of the NB family (unlike the RF's
+        # iteratively-trained featureImportances, which stays golden-
+        # pinned in feature_importances_topk). Rank by round(lo, 6) DESC
+        # then feat ASC so engine-ulp differences in ln cannot flip ranks.
+        from pyspark.sql import Window
+
+        d = _t(spark, sf, "documents")
+        counts = (
+            d.select("lang", F.explode(char_ngrams(F.lower("text"), 2)).alias("feat"))
+            .groupBy("lang", "feat")
+            .agg(F.count("*").alias("cnt"))
+        )
+        totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+        gtot = counts.groupBy("feat").agg(F.sum("cnt").alias("gcnt"))
+        vg = counts.groupBy().agg(
+            F.countDistinct("feat").alias("v"), F.sum("cnt").alias("grand")
+        )
+        scored = (
+            counts.join(totals, "lang")
+            .join(gtot, "feat")
+            .crossJoin(F.broadcast(vg))
+            .withColumn(
+                "log_odds",
+                F.round(
+                    F.log((F.col("cnt") + 0.5) / (F.col("tot") + 0.5 * F.col("v")))
+                    - F.log(
+                        (F.col("gcnt") - F.col("cnt") + 0.5)
+                        / (F.col("grand") - F.col("tot") + 0.5 * F.col("v"))
+                    ),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("log_odds").desc(), F.col("feat").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("lang", "feat", "log_odds", "rk")
+        )
+
     def feature_importances_topk(spark, sf):
         # A14 proper: RandomForest featureImportances from the MLlib
         # pipeline (reference classical_ml.py:216-255), top-20 by
@@ -768,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "fingerprints": fingerprints,
         "quality_scores": quality_scores,
+        "gopher_scores": gopher_scores,
         "cavnar_profile": cavnar_profile,
         "cavnar_predict": cavnar_predict,
         "dunning_predict": dunning_predict,
@@ -775,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_freq_predict": char_freq_predict,
         "tfidf_top_terms": tfidf_top_terms,
         "dunning_top_features": dunning_top_features,
+        "feature_log_odds_topk": feature_log_odds_topk,
         "feature_importances_topk": feature_importances_topk,
         "salted_lang_stats": salted_lang_stats,
         "user_sessions": user_sessions,
@@ -881,6 +968,9 @@ def oracle_sql() -> dict[str, str]:
             FROM classes c LEFT JOIN lc USING (class)
             LEFT JOIN pc USING (class) LEFT JOIN tp USING (class))
     """
+    from language_identification_spark.pipeline.rules import DEFAULT_STOPWORDS
+
+    stops_sql = "[" + ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS) + "]"
     jacc_base = """
       WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
       sh AS (
@@ -1346,6 +1436,31 @@ def oracle_sql() -> dict[str, str]:
             FROM model
           ) WHERE rk <= 10
         """,
+        "feature_log_odds_topk": f"""
+          WITH counts AS (
+            SELECT lang, ngram AS feat, count(*) AS cnt
+            FROM ({_duck_ngrams("(SELECT lang, lower(text) AS lt FROM documents)", "lt", 2)})
+            GROUP BY 1, 2
+          ),
+          totals AS (SELECT lang, sum(cnt) AS tot FROM counts GROUP BY 1),
+          gtot AS (SELECT feat, sum(cnt) AS gcnt FROM counts GROUP BY 1),
+          vg AS (SELECT count(DISTINCT feat) AS v, sum(cnt) AS grand FROM counts),
+          scored AS (
+            SELECT c.lang, c.feat,
+                   round(ln((c.cnt + 0.5) / (t.tot + 0.5 * vg.v))
+                         - ln((g.gcnt - c.cnt + 0.5)
+                              / (vg.grand - t.tot + 0.5 * vg.v)), 6) AS log_odds
+            FROM counts c
+            JOIN totals t USING (lang)
+            JOIN gtot g USING (feat)
+            CROSS JOIN vg
+          )
+          SELECT lang, feat, log_odds, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY log_odds DESC, feat ASC) AS rk
+            FROM scored
+          ) WHERE rk <= 10
+        """,
         "salted_lang_stats": """
           SELECT lang, count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars,
                  min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -1363,6 +1478,37 @@ def oracle_sql() -> dict[str, str]:
                  (coalesce(sum(new_sess), 0) + 1)::BIGINT AS n_sessions,
                  count(*) AS n_events
           FROM gaps GROUP BY user_id
+        """,
+        "gopher_scores": f"""
+          WITH base AS (
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN text || chr(10) || '- ' || substr(text, 1, 20)
+                            || chr(10) || text
+                WHEN 1 THEN text || chr(10) || substr(text, 1, 15) || '...'
+                WHEN 2 THEN text || chr(10) || text || chr(10) || text
+                ELSE text
+              END AS t
+            FROM documents
+          ),
+          feat AS (
+            SELECT doc_id,
+              regexp_split_to_array(t, '[ \\t\\n\\x0B\\f\\r]+') AS w,
+              string_split(t, chr(10)) AS ls
+            FROM base
+          )
+          SELECT doc_id,
+            len(w) AS n_words,
+            round(CASE WHEN len(w) > 0 THEN
+              len(list_filter(w, x -> list_contains({stops_sql}, x)))::DOUBLE / len(w)
+              ELSE 0 END, 6) AS stopword_ratio,
+            round(len(list_filter(ls, l -> starts_with(l, '- ')
+                    OR starts_with(l, '* ') OR starts_with(l, '•')))::DOUBLE
+                  / len(ls), 6) AS bullet_line_ratio,
+            round(len(list_filter(ls, l -> ends_with(l, '...')
+                    OR ends_with(l, '…')))::DOUBLE / len(ls), 6) AS ellipsis_line_ratio,
+            round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6) AS dup_line_ratio
+          FROM feat
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups

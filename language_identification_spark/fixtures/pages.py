@@ -131,6 +131,26 @@ def gen_pages(
         text = " ".join(words)
         if mode == 5:
             text = "  " + text.strip() + " \t\n"
+        # r4 Gopher-rule anomalies — multi-line shapes that trip exactly one
+        # of the new line/stop-word rules (other features stay in bounds).
+        elif mode == 6:  # bullet-list page: every line a bullet (ratio 1.0)
+            text = "\n".join(
+                "- " + " ".join(words[k : k + 4]) for k in range(0, len(words), 4)
+            )
+        elif mode == 7:  # "..."-truncated teaser lines (ratio 0.5 > 0.3)
+            half = max(len(words) // 2, 4)
+            l1 = " ".join(words[:half]) + "..."
+            l2 = " ".join(words[half:]) or "tail"
+            l3 = " ".join(words[: half // 2]) + "…"
+            l4 = " ".join(words[half // 2 :]) or "tail2"
+            text = "\n".join([l1, l2, l3, l4])
+        elif mode == 8:  # repeated boilerplate lines (dup ratio 0.5 > 0.3)
+            half = max(len(words) // 2, 2)
+            l1, l2 = " ".join(words[:half]), " ".join(words[half:]) or "tail"
+            text = "\n".join([l1, l2, l1, l2])
+        elif mode == 9:  # zero stop words: draw only from the tail vocab
+            tail_vocab = vocab[20:]
+            text = " ".join(r.choice(tail_vocab) for _ in range(len(words)))
 
         url = f"https://site{i % 97}.example/{hashlib.sha1(str(i).encode()).hexdigest()[:12]}"
         html = b"<html><body>" + text.encode("utf-8") + b"</body></html>"

@@ -103,25 +103,63 @@ def words(col: Column) -> Column:
 WS_CHARS = " \t\n\x0b\f\r"
 SYMBOL_CHARS = "#!$%&*+=@^~|<>"
 
+# Gopher-style line heuristics — pinned, no trimming, so Spark SQL, the
+# Python twin, and the DuckDB oracle evaluate byte-identical predicates.
+BULLET_PREFIXES = ("- ", "* ", "•")  # '•' matches with or without space
+ELLIPSIS_SUFFIXES = ("...", "…")
 
-def with_quality_columns(df: DataFrame, text_col: str = "norm_text") -> DataFrame:
+
+def with_quality_columns(
+    df: DataFrame, text_col: str = "norm_text", stopwords: tuple[str, ...] | None = None
+) -> DataFrame:
     """Gopher/C4-style heuristic quality features as native Spark SQL columns
-    (no UDF): doc length, word stats, symbol ratio, repetition ratio.
+    (no UDF): doc length, word stats, symbol ratio, repetition ratio,
+    stop-word fraction, bullet/ellipsis line ratios, duplicate-line
+    fraction.
 
     Assumes ``text_col`` is already normalized (no leading/trailing ws).
+    ``stopwords`` defaults to :data:`..pipeline.rules.DEFAULT_STOPWORDS`
+    (the per-fixture-language lexicon); it enters the plan as a literal
+    array — a driver→executor broadcast in effect. A production-scale
+    lexicon (10k+ words) would instead ship as a real broadcast set inside
+    the fused UDF, which already takes this same tuple.
 
     Perf note: character counting uses ``translate`` (codegen'd, allocation
     light) instead of ``regexp_replace``, and mean word length is derived
     as (non-ws chars)/n_words instead of an interpreted higher-order
     ``aggregate`` over the word array — HOFs are not codegen'd and measured
-    as the pipeline's JVM bottleneck at 32 cores. Semantics are identical
-    to the Python twin ``py_quality_features``.
+    as the pipeline's JVM bottleneck at 32 cores. The line/stop-word
+    columns do use ``filter`` HOFs: they are keep-rule inputs with tiny
+    operand arrays (lines per doc, ≤200 stopwords), and the serving hot
+    path computes them in the fused Arrow UDF anyway. Semantics are
+    identical to the Python twin ``py_quality_features``.
     """
+    if stopwords is None:
+        from ..pipeline.rules import DEFAULT_STOPWORDS as stopwords  # lazy: no cycle
     c = F.col(text_col)
     w = words(c)
     n_words = F.size(w)
     non_ws = F.length(F.translate(c, WS_CHARS, ""))
     non_symbol = F.length(F.translate(c, SYMBOL_CHARS, ""))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)  # ≥ 1 always: split('', ...) yields ['']
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith(BULLET_PREFIXES[0])
+            | l.startswith(BULLET_PREFIXES[1])
+            | l.startswith(BULLET_PREFIXES[2]),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith(ELLIPSIS_SUFFIXES[0])
+            | l.endswith(ELLIPSIS_SUFFIXES[1]),
+        )
+    )
     return (
         df.withColumn("n_chars", F.length(c))
         .withColumn("n_words", n_words)
@@ -140,6 +178,16 @@ def with_quality_columns(df: DataFrame, text_col: str = "norm_text") -> DataFram
             F.when(n_words > 0, F.size(F.array_distinct(w)).cast("double") / n_words)
             .otherwise(F.lit(0.0)),
         )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn("bullet_line_ratio", n_bullet.cast("double") / n_lines)
+        .withColumn("ellipsis_line_ratio", n_ellipsis.cast("double") / n_lines)
+        .withColumn(
+            "dup_line_ratio",
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+        )
     )
 
 
@@ -156,7 +204,22 @@ def py_words(s: str) -> list[str]:
     return [t for t in _PY_WS_RE.split(s) if t]
 
 
-def py_quality_features_batch(norm_series) -> dict[str, list]:
+def _default_stopwords() -> tuple[str, ...]:
+    from ..pipeline.rules import DEFAULT_STOPWORDS
+
+    return DEFAULT_STOPWORDS
+
+
+def _py_line_feats(norm: str) -> tuple[int, int, int, int]:
+    """(n_lines, n_bullet, n_ellipsis, n_dup) with the pinned no-trim
+    predicates (:data:`BULLET_PREFIXES` / :data:`ELLIPSIS_SUFFIXES`)."""
+    lines = norm.split("\n")
+    n_bullet = sum(1 for l in lines if l.startswith(BULLET_PREFIXES))
+    n_ellipsis = sum(1 for l in lines if l.endswith(ELLIPSIS_SUFFIXES))
+    return len(lines), n_bullet, n_ellipsis, len(lines) - len(set(lines))
+
+
+def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = None) -> dict[str, list]:
     """Vectorized batch twin of :func:`py_quality_features` — same integer
     counts, same divisions, so every float is bit-identical to the
     per-doc oracle path. Used by the fused serving UDF.
@@ -174,47 +237,72 @@ def py_quality_features_batch(norm_series) -> dict[str, list]:
     import numpy as np
     import pandas as pd
 
+    stopset = frozenset(stopwords if stopwords is not None else _default_stopwords())
+    keys = (
+        "n_chars", "n_words", "mean_word_len", "symbol_ratio",
+        "distinct_word_ratio", "stopword_ratio", "bullet_line_ratio",
+        "ellipsis_line_ratio", "dup_line_ratio",
+    )
     s = pd.Series(norm_series).reset_index(drop=True)
     n = len(s)
     if n == 0:
-        return {k: [] for k in ("n_chars", "n_words", "mean_word_len",
-                                "symbol_ratio", "distinct_word_ratio")}
+        return {k: [] for k in keys}
     n_chars = s.str.len().to_numpy(dtype=np.int64)
     sym_cnt = s.str.count(SYMBOL_CLASS).to_numpy(dtype=np.int64)
     n_words = np.empty(n, dtype=np.int64)
     distinct = np.empty(n, dtype=np.int64)
     toklen = np.empty(n, dtype=np.int64)
+    stop_cnt = np.empty(n, dtype=np.int64)
+    n_lines = np.empty(n, dtype=np.int64)
+    bullet = np.empty(n, dtype=np.int64)
+    ellipsis = np.empty(n, dtype=np.int64)
+    dup = np.empty(n, dtype=np.int64)
     for i, x in enumerate(s):
         toks = [w for w in x.translate(_WS_TO_SPACE).split(" ") if w]
         n_words[i] = len(toks)
         distinct[i] = len(set(toks))
         toklen[i] = sum(map(len, toks))
+        stop_cnt[i] = sum(1 for t in toks if t in stopset)
+        n_lines[i], bullet[i], ellipsis[i], dup[i] = _py_line_feats(x)
     safe = np.maximum(n_words, 1).astype(np.float64)
     has = n_words > 0
     mean_wl = np.where(has, toklen / safe, 0.0)
     sym_ratio = np.where(has, sym_cnt / safe, 0.0)
     dw_ratio = np.where(has, distinct / safe, 0.0)
+    stop_ratio = np.where(has, stop_cnt / safe, 0.0)
+    nl = n_lines.astype(np.float64)  # ≥ 1 always
     return {
         "n_chars": n_chars,
         "n_words": n_words,
         "mean_word_len": mean_wl,
         "symbol_ratio": sym_ratio,
         "distinct_word_ratio": dw_ratio,
+        "stopword_ratio": stop_ratio,
+        "bullet_line_ratio": bullet / nl,
+        "ellipsis_line_ratio": ellipsis / nl,
+        "dup_line_ratio": dup / nl,
     }
 
 
-def py_quality_features(norm: str) -> dict[str, float]:
+def py_quality_features(norm: str, stopwords: tuple[str, ...] | None = None) -> dict[str, float]:
+    stopset = frozenset(stopwords if stopwords is not None else _default_stopwords())
     ws = py_words(norm)
     n_words = len(ws)
     n_chars = len(norm)
     mean_wl = (sum(len(t) for t in ws) / n_words) if n_words else 0.0
     sym = len(_PY_SYMBOL_RE.findall(norm))
+    n_stop = sum(1 for t in ws if t in stopset)
+    n_lines, n_bullet, n_ellipsis, n_dup = _py_line_feats(norm)
     return {
         "n_chars": n_chars,
         "n_words": n_words,
         "mean_word_len": mean_wl,
         "symbol_ratio": (sym / n_words) if n_words else 0.0,
         "distinct_word_ratio": (len(set(ws)) / n_words) if n_words else 0.0,
+        "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
+        "bullet_line_ratio": n_bullet / n_lines,
+        "ellipsis_line_ratio": n_ellipsis / n_lines,
+        "dup_line_ratio": n_dup / n_lines,
     }
 
 

@@ -52,6 +52,10 @@ FUSED_STRUCT = T.StructType(
         T.StructField("mean_word_len", T.DoubleType()),
         T.StructField("symbol_ratio", T.DoubleType()),
         T.StructField("distinct_word_ratio", T.DoubleType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("bullet_line_ratio", T.DoubleType()),
+        T.StructField("ellipsis_line_ratio", T.DoubleType()),
+        T.StructField("dup_line_ratio", T.DoubleType()),
     ]
 )
 

@@ -111,7 +111,8 @@ def test_fused_matches_native(spark, pages_df, spark_models):
     fused = run_quality_pipeline(spark, pages_df, spark_models, heuristics="fused")
     cols = ["url", "keep", "lang_pred", "lang_conf", "perplexity",
             "scrubbed_text", "n_chars", "n_words", "mean_word_len",
-            "symbol_ratio", "distinct_word_ratio"]
+            "symbol_ratio", "distinct_word_ratio", "stopword_ratio",
+            "bullet_line_ratio", "ellipsis_line_ratio", "dup_line_ratio"]
     a = sorted(map(tuple, native.select(cols).collect()))
     b = sorted(map(tuple, fused.select(cols).collect()))
     assert a == b

@@ -68,6 +68,10 @@ def test_quality_features_invariants(s):
         assert 0 < f["mean_word_len"] <= max(f["n_chars"], 1)
     else:
         assert f["mean_word_len"] == 0.0
+    assert 0 <= f["stopword_ratio"] <= 1.0
+    assert 0 <= f["bullet_line_ratio"] <= 1.0
+    assert 0 <= f["ellipsis_line_ratio"] <= 1.0
+    assert 0 <= f["dup_line_ratio"] < 1.0  # n_lines ≥ 1 ⇒ at least 1 distinct
 
 
 @given(ASCII_TEXT)
