@@ -137,8 +137,51 @@ def jaccard_similar_pairs(
     )
 
 
+class _SpillTable:
+    """Cleanup handle for a spilled banded table: drops the catalog entry
+    on release (files under the caller's spill_dir are the caller's to
+    manage — on a cluster they are the durable artifact). Quacks like a
+    persisted DataFrame for the :data:`_LIVE_PAIR_CACHES` registry."""
+
+    def __init__(self, spark, name: str):
+        self._spark = spark
+        self._name = name
+
+    def unpersist(self) -> None:
+        self._spark.sql(f"DROP TABLE IF EXISTS {self._name}")
+
+
+def _spill_banded(banded: DataFrame, key_cols: list[str], spill_dir: str) -> DataFrame:
+    """Write the banded table as a Hive-bucketed parquet table (bucketed by
+    the band-hash key) and read it back: both sides of the self-join then
+    scan the SAME bucketed table, so the join needs no Exchange at all —
+    the spill replaces executor-memory persist() when the corpus exceeds
+    what MEMORY_AND_DISK should hold (at 100 TB the banded table is
+    O(bands × corpus) rows; a disk-backed bucketed table is the only shape
+    that both survives executor loss and co-locates the join)."""
+    import os
+    import uuid
+
+    from ..sources.catalog import write_join_bucketed
+
+    name = f"lid_banded_spill_{uuid.uuid4().hex[:8]}"
+    write_join_bucketed(
+        banded,
+        name,
+        os.path.join(spill_dir, name),
+        bucket_col=key_cols[-1],
+        n_buckets=64,
+    )
+    spark = banded.sparkSession
+    _LIVE_PAIR_CACHES.append(_SpillTable(spark, name))
+    return spark.table(name)
+
+
 def _bucket_self_join(
-    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket: int | None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b) distinct candidate pairs from a (id, *key_cols) bucket
     table, with a hot-bucket guard.
@@ -163,10 +206,19 @@ def _bucket_self_join(
     unpersists it once the pairs have been materialized (long-lived
     sessions that skip this keep the MEMORY_AND_DISK blocks for the life
     of the SparkContext).
+
+    ``spill_dir``: when set, the multi-consumer banded table is written as
+    a Hive-bucketed parquet table (see :func:`_spill_banded`) instead of
+    ``persist()`` — the corpus-scale mode where the banded rows exceed
+    executor memory; pair output is identical, and release drops the
+    catalog entry instead of unpersisting blocks.
     """
     persisted = None
     if max_bucket is not None:
-        banded = persisted = _register_cache(banded)
+        if spill_dir is not None:
+            banded = _spill_banded(banded, key_cols, spill_dir)
+        else:
+            banded = persisted = _register_cache(banded)
         hot = (
             banded.groupBy(*key_cols)
             .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin"))
@@ -268,6 +320,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     n_hashes: int = 64,
     max_bucket: int | None = 10_000,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equal band-hash in ≥1 of ``bands``
     bands. Shuffle key = (band_idx, band_hash) — collision buckets only.
@@ -281,7 +334,7 @@ def minhash_lsh_candidates(
     :func:`release_pair_cache` after materializing (see
     ``_bucket_self_join``)."""
     banded = _band_table(sigs, bands, n_hashes)
-    return _bucket_self_join(banded, ["band", "bh"], max_bucket)
+    return _bucket_self_join(banded, ["band", "bh"], max_bucket, spill_dir)
 
 
 def _band_table(sigs: DataFrame, bands: int, n_hashes: int) -> DataFrame:
@@ -426,8 +479,13 @@ def minhash_near_duplicates(
     bands: int = 16,
     seed: int = 42,
     max_bucket: int | None = 10_000,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    ``spill_dir`` switches the banded-signature cache from executor-memory
+    persist() to a Hive-bucketed on-disk table (corpus-scale mode; see
+    ``_bucket_self_join``). Pair output is identical either way.
 
     The verify stage computes Jaccard PER CANDIDATE PAIR (join the two
     distinct-shingle arrays, ``array_intersect`` JVM-side): cost is
@@ -444,7 +502,9 @@ def minhash_near_duplicates(
     :func:`release_pair_cache` on the result after materializing it.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
-    cand = _register_cache(minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket))
+    cand = _register_cache(
+        minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
+    )
     # Candidate-first verify: semi-join the corpus on the (distinct,
     # usually tiny) candidate id set BEFORE computing shingle arrays —
     # without it every document is re-shingled just to verify the few

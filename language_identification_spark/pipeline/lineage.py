@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .quality import QualityModels, run_quality_pipeline
+from .rules import MAX_PERPLEXITY, MIN_LANG_CONF
 
 
 def bucket_expr(url_col: str = "url", n_buckets: int = 16):
@@ -113,10 +114,10 @@ def run_resumable(
                 F.when(isb, F.col("keep").cast("long")).otherwise(F.lit(0))
             ).alias(f"k_{b}"),
             F.sum(
-                F.when(isb & (F.col("lang_conf") < 0.5), F.lit(1)).otherwise(F.lit(0))
+                F.when(isb & (F.col("lang_conf") < MIN_LANG_CONF), F.lit(1)).otherwise(F.lit(0))
             ).alias(f"l_{b}"),
             F.sum(
-                F.when(isb & (F.col("perplexity") > 60.0), F.lit(1)).otherwise(F.lit(0))
+                F.when(isb & (F.col("perplexity") > MAX_PERPLEXITY), F.lit(1)).otherwise(F.lit(0))
             ).alias(f"p_{b}"),
         ]
     out = out.observe(obs, *exprs)

@@ -58,6 +58,70 @@ def windowed_quality_metrics(scored_stream: DataFrame, window: str = "10 minutes
     )
 
 
+def run_stream_with_lineage(
+    spark: SparkSession,
+    dir_path: str,
+    models: QualityModels,
+    out_dir: str,
+    lineage_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of the batch path's observe()-lineage
+    (pipeline/lineage.run_resumable): every micro-batch appends ONE
+    lineage row — (batch_id, n_input, n_kept, n_lowconf, n_highppl,
+    wall_s, ts), the same attrition schema keyed by batch instead of
+    url-bucket — collected via ``observe()`` on the batch DataFrame
+    inside ``foreachBatch``, so the input is read once and the output
+    written once with no post-write rescan (identical discipline to the
+    batch path; the thresholds are the shared rules constants).
+    Restart-safety comes from the stream checkpoint: a replayed batch
+    re-appends its lineage row with the same batch_id, so consumers
+    dedup on (batch_id) — exactly Structured Streaming's at-least-once
+    foreachBatch contract.
+    """
+    import time
+
+    from pyspark.sql import Observation
+
+    from ..pipeline.rules import MAX_PERPLEXITY, MIN_LANG_CONF
+
+    scored = quality_stream(spark, read_pages_stream(spark, dir_path), models)
+
+    def handle_batch(df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        obs = Observation(f"stream_lineage_{batch_id}")
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((F.col("lang_conf") < MIN_LANG_CONF).cast("long")).alias("n_lowconf"),
+            F.sum((F.col("perplexity") > MAX_PERPLEXITY).cast("long")).alias("n_highppl"),
+        )
+        observed.write.mode("append").parquet(out_dir)
+        m = obs.get
+        row = spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(m["n_input"] or 0),
+                    int(m["n_kept"] or 0),
+                    int(m["n_lowconf"] or 0),
+                    int(m["n_highppl"] or 0),
+                    float(time.monotonic() - t0),
+                )
+            ],
+            "batch_id long, n_input long, n_kept long, n_lowconf long, n_highppl long, wall_s double",
+        ).withColumn("ts", F.current_timestamp())
+        row.write.mode("append").parquet(lineage_dir)
+
+    return (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, dir_path: str, models: QualityModels, name: str = "quality_out"
 ):

@@ -381,3 +381,69 @@ def test_components_via_lsh_guard(spark, dup_docs):
     )
     assert 0 in kept_ids and 1 not in kept_ids and 2 not in kept_ids
     dedup.release_pair_cache()
+
+
+def test_ivf_probe_everything_equals_brute_force(spark, emb):
+    """Degeneracy pin: with n_probe == n_lists every query probes every
+    list, so the candidate set is the whole corpus and IVF must reproduce
+    brute force EXACTLY (same cosine expr, same round-6, same id
+    tie-break) — this pins the re-rank stage independent of recall."""
+    qids = [0, 1, 2, 3, 4]
+    brute = sorted(map(tuple, similarity.brute_force_topk(emb, qids, k=5).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(emb, qids, k=5, n_lists=16, n_probe=16).collect(),
+        )
+    )
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """The production setting (n_probe << n_lists) keeps high top-k recall
+    on the fixture embeddings."""
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, qids, k=5, n_lists=32, n_probe=8).collect()
+    }
+    assert len(brute & ivf) / len(brute) >= 0.5
+
+
+def test_spill_to_table_mode(spark, dup_docs, tmp_path):
+    """r4: spill_dir switches the multi-consumer banded cache from
+    executor-memory persist() to a Hive-bucketed on-disk table (the
+    corpus-scale mode). Pair output identical; the banded side holds NO
+    persistent blocks during the run (only the tiny candidate-pair
+    persist); release drops the catalog table."""
+    dedup.release_pair_cache()
+    mem = dedup.minhash_near_duplicates(dup_docs, threshold=0.5)
+    got_mem = sorted(map(tuple, mem.collect()))
+    dedup.release_pair_cache()
+
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    spill = dedup.minhash_near_duplicates(
+        dup_docs, threshold=0.5, spill_dir=str(tmp_path)
+    )
+    got_spill = sorted(map(tuple, spill.collect()))
+    assert got_spill == got_mem
+
+    def spill_tables():
+        return [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("lid_banded_spill_")
+        ]
+
+    assert len(spill_tables()) == 1
+    # banded table on disk, not in executor memory: the only live persist
+    # is the candidate-pair table
+    assert jsc.getPersistentRDDs().size() == baseline + 1
+    dedup.release_pair_cache()
+    assert jsc.getPersistentRDDs().size() == baseline
+    assert spill_tables() == []

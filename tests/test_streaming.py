@@ -161,3 +161,42 @@ def test_stateful_dedup_ttl_eviction(spark, tmp_path):
         ("u3", "beta doc"),
         ("u5", "alpha doc"),  # re-admitted: state evicted by TTL
     ]
+
+
+def test_streaming_lineage_per_batch(spark, pages_df, tmp_path):
+    """r4: the streaming path gets the batch path's observe()-lineage —
+    one row per micro-batch with the same attrition schema, counts
+    consistent with the written output."""
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.streaming.quality_stream import (
+        run_stream_with_lineage,
+    )
+
+    src = str(tmp_path / "src")
+    pages_df.repartition(8).write.parquet(src)
+    models = train_quality_models(pages_df.filter("split = 'train'"))
+
+    out_dir = str(tmp_path / "out")
+    lin_dir = str(tmp_path / "lineage")
+    q = run_stream_with_lineage(
+        spark, src, models, out_dir, lin_dir, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    lineage = spark.read.parquet(lin_dir)
+    out = spark.read.parquet(out_dir)
+    rows = lineage.collect()
+    # 8 source files / maxFilesPerTrigger=4 → 2 micro-batches
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    assert len(rows) == 2
+    assert sum(r["n_input"] for r in rows) == out.count() == pages_df.count()
+    assert sum(r["n_kept"] for r in rows) == out.filter("keep").count()
+    assert sum(r["n_lowconf"] for r in rows) == out.filter(
+        F.col("lang_conf") < 0.5
+    ).count()
+    assert all(r["wall_s"] > 0 for r in rows)
+    assert set(lineage.columns) == {
+        "batch_id", "n_input", "n_kept", "n_lowconf", "n_highppl", "wall_s", "ts",
+    }
