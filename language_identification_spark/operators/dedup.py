@@ -500,6 +500,16 @@ def minhash_near_duplicates(
     star subset (complete for dedup GROUPING, not for exhaustive pair
     listing — use ``max_bucket=None`` for that). Call
     :func:`release_pair_cache` on the result after materializing it.
+
+    Measured trade-off of the candidate-first semi-join (A/B at sf0.1,
+    planted-dup corpus where EVERY doc is a candidate — the worst case):
+    ~2.9 s always-shingle vs ~5 s candidate-first, the delta being the
+    serialization barrier behind candidate materialization plus the semi-
+    join stages, all fixed stage overheads. At corpus scale the ratio
+    inverts: always-shingle SHUFFLES every document's shingle array into
+    the verify join (O(corpus) shuffle bytes to verify a near-empty pair
+    set), while candidate-first shuffles only candidates. The scale shape
+    is the default; the toy-scale delta is priced in the bench notes.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
     cand = _register_cache(
@@ -511,10 +521,10 @@ def minhash_near_duplicates(
     # that collided in some band. ``cand`` feeds three consumers (the id
     # set + both sides of the verify join), hence the persist (released
     # via release_pair_cache).
-    cand_ids = (
-        cand.select(F.col("id_a").alias("cid"))
-        .unionAll(cand.select(F.col("id_b").alias("cid")))
-        .distinct()
+    # No .distinct() on the id set: left_semi deduplicates by construction,
+    # and the extra shuffle measured ~+3s on the sf0.1 gate corpus.
+    cand_ids = cand.select(F.col("id_a").alias("cid")).unionAll(
+        cand.select(F.col("id_b").alias("cid"))
     )
     sh = (
         df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
