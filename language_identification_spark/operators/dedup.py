@@ -733,23 +733,24 @@ def dedup_components(
         # edge's dst (nb_min covers all ids), and every label value is
         # itself a node id (mins over node ids), so the jump join hits.
         prop = labels.join(nb_min, "id").select(
-            "id", F.least("label", "nb_min").alias("label")
-        )
+            "id", F.least("label", "nb_min").alias("label"), "label"
+        ).toDF("id", "label", "old")
         # Pointer jump: label := label(label) — compresses label chains so
         # path-shaped clusters converge in O(log n), not O(diameter).
         parent = prop.select(
             F.col("id").alias("label"), F.col("label").alias("parent")
         )
+        # The previous round's label rides along as `old`, so the
+        # convergence probe below is a filter over the fresh checkpoint
+        # blocks — no extra join against the previous label table.
         new_labels, new_blocks = ckpt(
-            prop.join(parent, "label").select("id", F.col("parent").alias("label"))
+            prop.join(parent, "label").select(
+                "id", F.col("parent").alias("label"), "old"
+            )
         )
-        converged = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .isEmpty()
-        )
+        converged = new_labels.filter(F.col("label") != F.col("old")).isEmpty()
         label_blocks.unpersist()  # previous round, no longer referenced
-        labels, label_blocks = new_labels, new_blocks
+        labels, label_blocks = new_labels.select("id", "label"), new_blocks
         if converged:
             break
     # The final labels are materialized blocks — edges are no longer
