@@ -54,7 +54,12 @@ def train_oracle_models(train_pdf: pd.DataFrame, dim: int = DIM):
     return nb, lm
 
 
-def run_oracle_pipeline(pages_pdf: pd.DataFrame, nb: HashedNgramNB, lm: BigramLM) -> pd.DataFrame:
+def run_oracle_pipeline(
+    pages_pdf: pd.DataFrame,
+    nb: HashedNgramNB,
+    lm: BigramLM,
+    stopwords: tuple[str, ...] | None = None,
+) -> pd.DataFrame:
     """pages → oracle output frame keyed by url.
 
     Scores through the SAME whole-batch functions the Spark UDFs call
@@ -69,7 +74,7 @@ def run_oracle_pipeline(pages_pdf: pd.DataFrame, nb: HashedNgramNB, lm: BigramLM
     for url, norm, label, conf, ppl in zip(
         pages_pdf["url"], norms, labels, confs, ppls
     ):
-        feats = py_quality_features(norm)
+        feats = py_quality_features(norm, stopwords)
         rows.append(
             {
                 "url": url,

@@ -62,11 +62,23 @@ FUSED_STRUCT = T.StructType(
 
 @dataclass
 class QualityModels:
+    """Everything the serving UDF needs, broadcast once per executor —
+    including the stop-word lexicon: at production scale that list is
+    10k+ words per language, and riding the model broadcast (instead of
+    being inlined into the plan as a literal) is the correct transport.
+    The native heuristic path receives the same tuple so both serving
+    shapes stay bit-identical."""
+
     langid: HashedNgramNB
     lm: BigramLM
+    stopwords: tuple[str, ...] | None = None  # None → rules.DEFAULT_STOPWORDS
 
 
-def train_quality_models(train_df: DataFrame, dim: int = DIM) -> QualityModels:
+def train_quality_models(
+    train_df: DataFrame,
+    dim: int = DIM,
+    stopwords: tuple[str, ...] | None = None,
+) -> QualityModels:
     """Train both models with two distributed aggregations.
 
     ``train_df`` must have (text, lang); text is normalized inside the
@@ -108,7 +120,7 @@ def train_quality_models(train_df: DataFrame, dim: int = DIM) -> QualityModels:
         .toPandas()
     )
     lm = BigramLM.from_counts(bg_counts)
-    return QualityModels(langid=langid, lm=lm)
+    return QualityModels(langid=langid, lm=lm, stopwords=stopwords)
 
 
 def make_score_udf(spark: SparkSession, models: QualityModels):
@@ -166,7 +178,7 @@ def make_fused_udf(spark: SparkSession, models: QualityModels):
         norm = texts.fillna("").str.strip()
         labels, confs = m.langid.predict_labels(norm.tolist())
         ppl = m.lm.perplexity_batch(norm.tolist())
-        feats = py_quality_features_batch(norm)
+        feats = py_quality_features_batch(norm, m.stopwords)
         return pd.DataFrame(
             {
                 "lang_pred": labels,
@@ -204,5 +216,5 @@ def run_quality_pipeline(
     out = pages.withColumn("_s", score(F.col("text"))).select(
         *[c for c in pages.columns if c not in ("html",)], "_s.*"
     )
-    out = with_quality_columns(out, "norm_text")
+    out = with_quality_columns(out, "norm_text", stopwords=models.stopwords)
     return out.withColumn("keep", keep_expr())

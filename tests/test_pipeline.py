@@ -116,3 +116,37 @@ def test_fused_matches_native(spark, pages_df, spark_models):
     a = sorted(map(tuple, native.select(cols).collect()))
     b = sorted(map(tuple, fused.select(cols).collect()))
     assert a == b
+
+
+def test_custom_stopword_lexicon_flows_through(spark, pages_df, pages_pdf):
+    """r4: the stop-word lexicon rides the model broadcast (QualityModels)
+    and reaches all three implementations — native SQL columns, fused
+    Arrow UDF, and the pure-Python oracle — producing identical
+    stopword_ratio and keep decisions. A deliberately absurd lexicon
+    (words that never occur) must drop every doc via the stop-word rule
+    alone, proving the custom list is actually in effect everywhere."""
+    from language_identification_spark.oracle.pipeline import (
+        run_oracle_pipeline as oracle_run,
+        train_oracle_models as oracle_train,
+    )
+
+    absurd = ("zzzzneverseen1", "zzzzneverseen2")
+    models = train_quality_models(
+        pages_df.filter("split = 'train'"), stopwords=absurd
+    )
+    assert models.stopwords == absurd
+
+    native = run_quality_pipeline(spark, pages_df, models)
+    fused = run_quality_pipeline(spark, pages_df, models, heuristics="fused")
+    cols = ["url", "stopword_ratio", "keep"]
+    a = sorted(map(tuple, native.select(cols).collect()))
+    b = sorted(map(tuple, fused.select(cols).collect()))
+    assert a == b
+    assert all(r[1] == 0.0 for r in a)   # no doc contains the absurd words
+    assert not any(r[2] for r in a)      # stop-word rule drops everything
+
+    train = pages_pdf[pages_pdf["split"] == "train"][["text", "lang"]]
+    nb, lm = oracle_train(train)
+    o = oracle_run(pages_pdf, nb, lm, stopwords=absurd)
+    assert not o["keep"].any()
+    assert (o["stopword_ratio"] == 0.0).all()
