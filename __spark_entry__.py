@@ -309,7 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is recomputed verbatim by the DuckDB twin → FULL value gate.
         e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
         pert = e.select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
+            (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
             F.transform(
                 "embedding", lambda x: (x * F.lit(1.01)).cast("float")
             ).alias("embedding"),
@@ -719,7 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def minhash_near_dups(spark, sf):
-        # Planted near-dups (text ⊕ ' zz', jaccard ≥ 0.93 on this data) so
+        # Planted near-dups (text ⊕ ' zz', jaccard ≥ 0.93 on this data; planted ids offset by 1e9 so they can never collide with a real doc_id at any plausible scale factor) so
         # the gate is non-vacuous. With 64 hashes × 16 bands the per-pair
         # LSH miss probability at j=0.93 is ~3e-10, so the output equals
         # the exact-Jaccard pair set and the exact SQL twin is a FULL gate.
@@ -729,7 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "text")
         )
         pert = d.select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
             F.concat("text", F.lit(" zz")).alias("text"),
         )
         out = dedup.minhash_near_duplicates(d.unionAll(pert), n=8, threshold=0.8)
@@ -739,7 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Incremental (new-shard vs corpus-index) near-dedup — the daily
         # 100 TB operation "is this incoming page already in the corpus?".
         # Corpus = doc_id % 5 == 0; new shard = planted perturbations
-        # (corpus text + ' zz', ids + 10000) ∪ fresh docs (doc_id % 5 == 1,
+        # (corpus text + ' zz', ids + 1e9) ∪ fresh docs (doc_id % 5 == 1,
         # expected no match). Same FULL-gate construction as
         # minhash_near_dups: at n=8 shingles / threshold 0.8 the LSH miss
         # probability on the planted pairs is ~3e-10, so the operator's
@@ -748,7 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "text")
         corpus = d.filter(F.col("doc_id") % 5 == 0)
         pert = corpus.select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
             F.concat("text", F.lit(" zz")).alias("text"),
         )
         fresh = d.filter(F.col("doc_id") % 5 == 1)
@@ -763,7 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Connected components + canonical selection over near-dup pairs —
         # the grouping step that turns pairwise evidence into one-survivor-
         # per-cluster. TWO planted perturbations per base doc (' zz' and
-        # ' qq' suffixes, ids +10000/+20000) make every component a
+        # ' qq' suffixes, ids +1e9/+2e9, collision-free at any plausible sf) make every component a
         # 3-node clique, so the gate exercises transitivity, not just
         # pair mirroring. FULL gate: the same LSH-equals-exact-Jaccard
         # argument as minhash_near_dups (miss prob ~3e-10 per planted
@@ -776,11 +776,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "text")
         )
         p1 = d.select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
             F.concat("text", F.lit(" zz")).alias("text"),
         )
         p2 = d.select(
-            (F.col("doc_id") + 20000).alias("doc_id"),
+            (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
             F.concat("text", F.lit(" qq")).alias("text"),
         )
         pairs = dedup.minhash_near_duplicates(
@@ -1596,7 +1596,7 @@ def oracle_sql() -> dict[str, str]:
           WITH src AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000,
+            SELECT vec_id + 1000000000,
                    list_transform(embedding, x -> (x * 1.01)::FLOAT)
             FROM embeddings
           ),
@@ -1617,7 +1617,7 @@ def oracle_sql() -> dict[str, str]:
           WITH aug AS (
             SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
             UNION ALL
-            SELECT doc_id + 10000, text || ' zz'
+            SELECT doc_id + 1000000000, text || ' zz'
             FROM documents WHERE doc_id % 5 = 0
           ),
           sh AS (
@@ -1641,10 +1641,10 @@ def oracle_sql() -> dict[str, str]:
           WITH RECURSIVE aug AS (
             SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
             UNION ALL
-            SELECT doc_id + 10000, text || ' zz'
+            SELECT doc_id + 1000000000, text || ' zz'
             FROM documents WHERE doc_id % 5 = 0
             UNION ALL
-            SELECT doc_id + 20000, text || ' qq'
+            SELECT doc_id + 2000000000, text || ' qq'
             FROM documents WHERE doc_id % 5 = 0
           ),
           sh AS (
@@ -1682,7 +1682,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
           ),
           newdocs AS (
-            SELECT doc_id + 10000 AS doc_id, text || ' zz' AS text
+            SELECT doc_id + 1000000000 AS doc_id, text || ' zz' AS text
             FROM documents WHERE doc_id % 5 = 0
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1

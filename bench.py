@@ -286,7 +286,7 @@ def main() -> None:
     # Graded number = fused (the production serving shape, same as the
     # scaling probes); native measured alongside for the comparison.
     pipe_wall, pipe_docs, pipe_dps, pipe_clean = timed_pipeline("fused")
-    _, _, pipe_dps_native, _ = timed_pipeline("native")
+    _, _, pipe_dps_native, pipe_native_clean = timed_pipeline("native")
 
     queries = run_headline_queries(spark, SF_DIR)
     queries["quality_pipeline"] = round(pipe_wall, 3)
@@ -303,6 +303,7 @@ def main() -> None:
         "pipeline_docs_per_sec_native": round(pipe_dps_native, 1),
         "pipeline_docs": pipe_docs,
         "pipeline_window_clean": bool(pipe_clean),
+        "pipeline_native_window_clean": bool(pipe_native_clean),
     }
 
     if scaling_result is not None:

@@ -68,6 +68,18 @@ def _lang_vocab(lang: str, size: int = 60) -> list[str]:
     return vocab
 
 
+def fixture_stopwords() -> tuple[str, ...]:
+    """Tiny per-fixture-language stop-word lexicon: the 20 most frequent
+    (= first-generated, the fixture draws uniformly) vocabulary words of
+    each synthetic language. Deterministic — both engines and the DuckDB
+    oracle embed the identical literal list. The default lexicon of
+    ``pipeline.rules`` resolves to this lazily."""
+    stops: set[str] = set()
+    for lang in LANGS:
+        stops.update(_lang_vocab(lang)[:20])
+    return tuple(sorted(stops))
+
+
 def _pii_snippets(rng: random.Random) -> list[str]:
     out = []
     kind = rng.randint(0, 3)

@@ -35,8 +35,15 @@ MERSENNE31 = (1 << 31) - 1
 # an attribute on the returned DataFrame) because any downstream transform
 # (select/filter/...) returns a NEW DataFrame without custom attributes —
 # release must not depend on callers preserving the original object.
-# Draining is always safe: the cached tables are recomputable lineage, so
-# the worst case of an early release is recompute cost, never wrong rows.
+# Entries are of three kinds with DIFFERENT release consequences:
+#   - persisted DataFrames (banded tables, candidate pairs): recomputable
+#     lineage — an early release costs recompute, never wrong rows;
+#   - _CkptBlocks (dedup_components labels): localCheckpoint TRUNCATED the
+#     lineage, so after release the result DataFrame is UNREADABLE;
+#   - _SpillTable (spill_dir mode): release drops the catalog entry the
+#     returned pairs read from.
+# Hence the release contract: drain only once EVERY outstanding
+# LSH-family result has been materialized (see release_pair_cache).
 _LIVE_PAIR_CACHES: list[DataFrame] = []
 
 
@@ -247,10 +254,18 @@ def _bucket_self_join(
 
 def release_pair_cache(pairs: DataFrame | None = None) -> None:
     """Unpersist EVERY live cache created by the LSH family (banded
-    signatures, candidate-id sets). Call AFTER the pairs have been
+    signatures, candidate-id sets, component label checkpoints, spilled
+    band tables). Call once ALL outstanding LSH-family results have been
     materialized (write/collect); no-op if nothing was cached. Without
     this, each guarded LSH call leaves its MEMORY_AND_DISK blocks cached
     for the rest of the SparkContext's life.
+
+    This is a GLOBAL drain: results whose backing is a checkpoint or a
+    spill table (``dedup_components`` output; ``spill_dir`` pairs) become
+    UNREADABLE after release — they are blocks, not recomputable lineage.
+    Do not release between materializing one result and consuming another
+    still-pending one; persisted-cache entries merely recompute, but
+    checkpoint/spill-backed ones fail with missing-block/table errors.
 
     Drains a module-level registry, so it works no matter what transforms
     the caller applied to the returned pairs (a ``.select()`` returns a
@@ -753,6 +768,15 @@ def dedup_components(
         labels, label_blocks = new_labels.select("id", "label"), new_blocks
         if converged:
             break
+    else:
+        # Silently returning non-converged labels would make
+        # canonical_documents under-delete duplicates with no signal.
+        label_blocks.unpersist()
+        edge_blocks.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (pointer jumping needs O(log n) rounds)"
+        )
     # The final labels are materialized blocks — edges are no longer
     # needed; the final label blocks must outlive this call (the caller
     # has not consumed the result yet), so they go on the release

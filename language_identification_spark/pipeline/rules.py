@@ -33,23 +33,30 @@ MAX_ELLIPSIS_LINE_RATIO = 0.3
 MAX_DUP_LINE_RATIO = 0.3
 
 
-def _fixture_stopwords() -> tuple[str, ...]:
-    """Tiny per-fixture-language stop-word lexicon: the 20 most frequent
-    (= first-generated, the fixture draws uniformly) vocabulary words of
-    each synthetic language. Deterministic — both engines and the DuckDB
-    oracle embed the identical literal list. A production deployment would
-    swap in real per-language function-word lists; everything downstream
-    (broadcast, ratio, rule) is shape-identical.
-    """
-    from ..fixtures.pages import LANGS, _lang_vocab
-
-    stops: set[str] = set()
-    for lang in LANGS:
-        stops.update(_lang_vocab(lang)[:20])
-    return tuple(sorted(stops))
+_DEFAULT_STOPWORDS_CACHE: tuple[str, ...] | None = None
 
 
-DEFAULT_STOPWORDS: tuple[str, ...] = _fixture_stopwords()
+def default_stopwords() -> tuple[str, ...]:
+    """The default stop-word lexicon, resolved LAZILY from the fixture
+    module (fixtures own the generation; this production module must not
+    run fixture RNG loops at import time on every executor). A production
+    deployment injects real per-language function-word lists via
+    ``QualityModels.stopwords`` / the ``stopwords`` parameters instead —
+    everything downstream (broadcast, ratio, rule) is shape-identical."""
+    global _DEFAULT_STOPWORDS_CACHE
+    if _DEFAULT_STOPWORDS_CACHE is None:
+        from ..fixtures.pages import fixture_stopwords
+
+        _DEFAULT_STOPWORDS_CACHE = fixture_stopwords()
+    return _DEFAULT_STOPWORDS_CACHE
+
+
+def __getattr__(name: str):
+    # PEP 562: keep the DEFAULT_STOPWORDS constant-style name working for
+    # existing importers without paying the fixture import at module load.
+    if name == "DEFAULT_STOPWORDS":
+        return default_stopwords()
+    raise AttributeError(name)
 
 
 def keep_expr() -> Column:

@@ -74,10 +74,14 @@ def run_stream_with_lineage(
     inside ``foreachBatch``, so the input is read once and the output
     written once with no post-write rescan (identical discipline to the
     batch path; the thresholds are the shared rules constants).
-    Restart-safety comes from the stream checkpoint: a replayed batch
-    re-appends its lineage row with the same batch_id, so consumers
-    dedup on (batch_id) — exactly Structured Streaming's at-least-once
-    foreachBatch contract.
+    Restart-safety: the OUTPUT is written with dynamic partition
+    overwrite on a ``batch_id`` partition column, so a replayed batch
+    REPLACES its own partition instead of appending duplicates — the
+    same idempotence discipline as the batch path's bucket overwrite.
+    The lineage table is append-only; a replayed batch re-appends its
+    row with the same batch_id, so lineage consumers take the latest row
+    per batch_id (Structured Streaming's at-least-once foreachBatch
+    contract).
     """
     import time
 
@@ -97,7 +101,13 @@ def run_stream_with_lineage(
             F.sum((F.col("lang_conf") < MIN_LANG_CONF).cast("long")).alias("n_lowconf"),
             F.sum((F.col("perplexity") > MAX_PERPLEXITY).cast("long")).alias("n_highppl"),
         )
-        observed.write.mode("append").parquet(out_dir)
+        (
+            observed.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
         m = obs.get
         row = spark.createDataFrame(
             [

@@ -447,3 +447,12 @@ def test_spill_to_table_mode(spark, dup_docs, tmp_path):
     dedup.release_pair_cache()
     assert jsc.getPersistentRDDs().size() == baseline
     assert spill_tables() == []
+
+
+def test_dedup_components_raises_on_iteration_cap(spark):
+    """Non-convergence must be loud: silently returning partial labels
+    would make canonical_documents under-delete duplicates."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_components(pairs, max_iter=1)
+    dedup.release_pair_cache()

@@ -200,3 +200,15 @@ def test_streaming_lineage_per_batch(spark, pages_df, tmp_path):
     assert set(lineage.columns) == {
         "batch_id", "n_input", "n_kept", "n_lowconf", "n_highppl", "wall_s", "ts",
     }
+    assert "batch_id" in out.columns
+
+    # Replay idempotence: re-running the same batches (fresh checkpoint →
+    # same batch_ids 0,1 over the same out_dir) must REPLACE each batch's
+    # partition, not append duplicates — the at-least-once foreachBatch
+    # contract handled via dynamic partition overwrite.
+    q2 = run_stream_with_lineage(
+        spark, src, models, out_dir, lin_dir, str(tmp_path / "ckpt2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out_dir).count() == pages_df.count()
