@@ -84,23 +84,24 @@ def run_headline_queries(spark, sf_dir: str, repeats: int = 2) -> dict[str, floa
     (bounded), so the driver-recorded number reflects the code, not a
     noisy-neighbor window (BENCH_r02 recorded quality_pipeline 2.5×
     slower than reproducible from exactly this)."""
-    from language_identification_spark.operators.dedup import release_pair_cache
+    from language_identification_spark.operators.dedup import pair_cache_scope
 
     qs = E.queries()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs: list[tuple[float, bool]] = []
         attempts = 0
-        while sum(1 for _, ok in runs if ok) < repeats and attempts < repeats + 3:
-            attempts += 1
-            runs.append(_timed_materialize(lambda: qs[name](spark, sf_dir)))
+        # One cache scope per query: LSH-family persists/checkpoints are
+        # freed when the scope exits (repeat runs of the SAME query still
+        # cache-hit via the CacheManager inside the scope); without this
+        # the dedup queries' banded caches stack up and eat executor
+        # memory for the rest of the bench session.
+        with pair_cache_scope():
+            while sum(1 for _, ok in runs if ok) < repeats and attempts < repeats + 3:
+                attempts += 1
+                runs.append(_timed_materialize(lambda: qs[name](spark, sf_dir)))
         valid = [r for r in runs if r[1]] or runs
         out[name] = round(min(valid)[0], 3)
-        # Free LSH-family persists between queries (repeat runs of the SAME
-        # query still cache-hit via the CacheManager, as in prior rounds);
-        # without this the dedup queries' banded caches stack up and eat
-        # executor memory for the rest of the bench session.
-        release_pair_cache()
     return out
 
 

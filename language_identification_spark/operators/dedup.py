@@ -21,6 +21,10 @@ Four families, each with the partitioning story that survives 100 TB:
 
 from __future__ import annotations
 
+import contextlib
+import threading
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -31,25 +35,94 @@ from ..functions.text import char_ngrams
 # 31-bit Mersenne prime: (a*h+b) stays < 2^62, safe for int64 ANSI math
 MERSENNE31 = (1 << 31) - 1
 
-# Live persisted intermediates created by the LSH family. A registry (not
-# an attribute on the returned DataFrame) because any downstream transform
-# (select/filter/...) returns a NEW DataFrame without custom attributes —
-# release must not depend on callers preserving the original object.
-# Entries are of three kinds with DIFFERENT release consequences:
-#   - persisted DataFrames (banded tables, candidate pairs): recomputable
-#     lineage — an early release costs recompute, never wrong rows;
-#   - _CkptBlocks (dedup_components labels): localCheckpoint TRUNCATED the
-#     lineage, so after release the result DataFrame is UNREADABLE;
-#   - _SpillTable (spill_dir mode): release drops the catalog entry the
-#     returned pairs read from.
-# Hence the release contract: drain only once EVERY outstanding
-# LSH-family result has been materialized (see release_pair_cache).
-_LIVE_PAIR_CACHES: list[DataFrame] = []
+
+class CacheScope:
+    """Release handle for the persisted/checkpointed/spilled intermediates
+    created by LSH-family operator calls while the scope was active.
+
+    A registry (not an attribute on the returned DataFrame) because any
+    downstream transform (select/filter/...) returns a NEW DataFrame
+    without custom attributes — release must not depend on callers
+    preserving the original object. Entries are of three kinds with
+    DIFFERENT release consequences:
+
+    - persisted DataFrames (banded tables, candidate pairs): recomputable
+      lineage — an early release costs recompute, never wrong rows;
+    - _CkptBlocks (dedup_components labels): localCheckpoint TRUNCATED the
+      lineage, so after release the result DataFrame is UNREADABLE;
+    - _SpillTable (spill_dir mode): release drops the catalog entry the
+      returned pairs read from.
+
+    Hence: release a scope only once every result produced under it has
+    been materialized (write/collect).
+    """
+
+    def __init__(self) -> None:
+        self._entries: list = []
+        self._lock = threading.Lock()
+
+    def add(self, entry) -> None:
+        with self._lock:
+            self._entries.append(entry)
+
+    def release(self, *, recomputable_only: bool = False) -> None:
+        with self._lock:
+            if recomputable_only:
+                keep = [e for e in self._entries if not isinstance(e, DataFrame)]
+                drain = [e for e in self._entries if isinstance(e, DataFrame)]
+                self._entries = keep
+            else:
+                drain, self._entries = self._entries, []
+        for e in drain:
+            e.unpersist()
+
+
+# Default (unscoped) registry — back-compat home for caches created
+# outside any pair_cache_scope(). Scope stack is thread-local so two
+# threads running LSH calls concurrently cannot interleave entries into
+# each other's scopes (ADVICE r4); the default scope itself is
+# lock-guarded.
+_DEFAULT_SCOPE = CacheScope()
+_ACTIVE = threading.local()
+
+
+def _current_scope() -> CacheScope:
+    stack = getattr(_ACTIVE, "stack", None)
+    return stack[-1] if stack else _DEFAULT_SCOPE
+
+
+@contextlib.contextmanager
+def pair_cache_scope():
+    """Scope the LSH family's caches to one operator call (or group of
+    calls) and free them deterministically on exit::
+
+        with pair_cache_scope():
+            pairs = minhash_near_duplicates(docs)
+            pairs.write.parquet(out)          # materialize INSIDE the scope
+        # banded/candidate persists + any checkpoint blocks are gone here
+
+    This is the safe release pattern when several LSH-family results are
+    in flight: each call site frees exactly its own intermediates, and a
+    release cannot invalidate another pending result (the r4 global-drain
+    hazard). Exiting the scope makes checkpoint/spill-backed results
+    (``dedup_components`` labels, ``spill_dir`` pairs) created inside it
+    UNREADABLE — consume them before leaving the scope. Reentrant and
+    thread-safe (the active-scope stack is thread-local)."""
+    scope = CacheScope()
+    stack = getattr(_ACTIVE, "stack", None)
+    if stack is None:
+        stack = _ACTIVE.stack = []
+    stack.append(scope)
+    try:
+        yield scope
+    finally:
+        stack.pop()
+        scope.release()
 
 
 def _register_cache(df: DataFrame) -> DataFrame:
     df.persist()
-    _LIVE_PAIR_CACHES.append(df)
+    _current_scope().add(df)
     return df
 
 
@@ -180,7 +253,7 @@ def _spill_banded(banded: DataFrame, key_cols: list[str], spill_dir: str) -> Dat
         n_buckets=64,
     )
     spark = banded.sparkSession
-    _LIVE_PAIR_CACHES.append(_SpillTable(spark, name))
+    _current_scope().add(_SpillTable(spark, name))
     return spark.table(name)
 
 
@@ -208,11 +281,11 @@ def _bucket_self_join(
     full banded table. ``banded`` feeds several consumers (hot scan + both
     join sides + star), and its lineage usually contains an expensive
     signature UDF, so it is persisted. The cache lives until explicitly
-    released: the persisted handle is tracked in the module-level
-    ``_LIVE_PAIR_CACHES`` registry and :func:`release_pair_cache`
-    unpersists it once the pairs have been materialized (long-lived
-    sessions that skip this keep the MEMORY_AND_DISK blocks for the life
-    of the SparkContext).
+    released: the persisted handle lands in the active
+    :func:`pair_cache_scope` (or the unscoped default registry, drained
+    by :func:`release_pair_cache`) — long-lived sessions that release
+    nothing keep the MEMORY_AND_DISK blocks for the life of the
+    SparkContext.
 
     ``spill_dir``: when set, the multi-consumer banded table is written as
     a Hive-bucketed parquet table (see :func:`_spill_banded`) instead of
@@ -220,12 +293,15 @@ def _bucket_self_join(
     executor memory; pair output is identical, and release drops the
     catalog entry instead of unpersisting blocks.
     """
-    persisted = None
+    # The cache/spill decision is independent of the hot-bucket guard
+    # (ADVICE r4: spill_dir used to be silently ignored with
+    # max_bucket=None): even unguarded, `banded` feeds both self-join
+    # sides and its lineage contains the signature UDF.
+    if spill_dir is not None:
+        banded = _spill_banded(banded, key_cols, spill_dir)
+    elif max_bucket is not None:
+        banded = _register_cache(banded)
     if max_bucket is not None:
-        if spill_dir is not None:
-            banded = _spill_banded(banded, key_cols, spill_dir)
-        else:
-            banded = persisted = _register_cache(banded)
         hot = (
             banded.groupBy(*key_cols)
             .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin"))
@@ -248,33 +324,45 @@ def _bucket_self_join(
     )
     if star is not None:
         pairs = pairs.unionAll(star)
-    del persisted  # released later via release_pair_cache (registry)
     return pairs.distinct()
 
 
-def release_pair_cache(pairs: DataFrame | None = None) -> None:
-    """Unpersist EVERY live cache created by the LSH family (banded
-    signatures, candidate-id sets, component label checkpoints, spilled
-    band tables). Call once ALL outstanding LSH-family results have been
-    materialized (write/collect); no-op if nothing was cached. Without
-    this, each guarded LSH call leaves its MEMORY_AND_DISK blocks cached
-    for the rest of the SparkContext's life.
+def release_pair_cache(
+    pairs: DataFrame | None = None, *, include_blocks: bool = False
+) -> None:
+    """Release the UNSCOPED caches created by the LSH family (those made
+    outside any :func:`pair_cache_scope`). No-op if nothing was cached;
+    without some release, each guarded LSH call leaves its
+    MEMORY_AND_DISK blocks cached for the rest of the SparkContext's
+    life. Prefer :func:`pair_cache_scope`, which scopes release to one
+    call site and cannot affect other in-flight results.
 
-    This is a GLOBAL drain: results whose backing is a checkpoint or a
-    spill table (``dedup_components`` output; ``spill_dir`` pairs) become
-    UNREADABLE after release — they are blocks, not recomputable lineage.
-    Do not release between materializing one result and consuming another
-    still-pending one; persisted-cache entries merely recompute, but
-    checkpoint/spill-backed ones fail with missing-block/table errors.
+    By default only RECOMPUTABLE entries are drained (persisted banded /
+    candidate-pair DataFrames): releasing those early merely costs a
+    recompute, never a wrong or unreadable result, so the default is safe
+    to call with other LSH results still pending. Entries whose backing
+    is a checkpoint or spill table (``dedup_components`` labels;
+    ``spill_dir`` band tables) make their result DataFrame UNREADABLE
+    once freed — draining them requires ``include_blocks=True`` and the
+    same discipline as a scope: every outstanding checkpoint/spill-backed
+    result must already be materialized. (Before r5 the no-arg call
+    drained blocks too — the unsafe half of that contract now needs the
+    explicit flag.)
 
     Drains a module-level registry, so it works no matter what transforms
     the caller applied to the returned pairs (a ``.select()`` returns a
     fresh DataFrame — an attribute riding on the original object would
-    silently make release a no-op). The ``pairs`` argument is accepted for
-    back-compat and ignored."""
-    del pairs
-    while _LIVE_PAIR_CACHES:
-        _LIVE_PAIR_CACHES.pop().unpersist()
+    silently make release a no-op). The ``pairs`` argument never selected
+    what to release and is deprecated."""
+    if pairs is not None:
+        warnings.warn(
+            "release_pair_cache(pairs) is deprecated and the argument is "
+            "ignored — the registry is module-level; use pair_cache_scope() "
+            "to scope release to one operator call",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    _DEFAULT_SCOPE.release(recomputable_only=not include_blocks)
 
 
 def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -782,7 +870,7 @@ def dedup_components(
     # has not consumed the result yet), so they go on the release
     # registry like every other LSH-family cache.
     edge_blocks.unpersist()
-    _LIVE_PAIR_CACHES.append(label_blocks)
+    _current_scope().add(label_blocks)
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 

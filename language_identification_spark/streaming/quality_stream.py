@@ -74,14 +74,13 @@ def run_stream_with_lineage(
     inside ``foreachBatch``, so the input is read once and the output
     written once with no post-write rescan (identical discipline to the
     batch path; the thresholds are the shared rules constants).
-    Restart-safety: the OUTPUT is written with dynamic partition
-    overwrite on a ``batch_id`` partition column, so a replayed batch
-    REPLACES its own partition instead of appending duplicates — the
-    same idempotence discipline as the batch path's bucket overwrite.
-    The lineage table is append-only; a replayed batch re-appends its
-    row with the same batch_id, so lineage consumers take the latest row
-    per batch_id (Structured Streaming's at-least-once foreachBatch
-    contract).
+    Restart-safety: BOTH writes are dynamic partition overwrites keyed
+    by ``batch_id``, so a replayed micro-batch (Structured Streaming's
+    at-least-once foreachBatch contract) REPLACES its own output
+    partition AND its own lineage row instead of appending duplicates —
+    consumers may sum lineage rows (the batch path's ``sum(n_kept)``
+    idiom) without any latest-row-per-batch_id dedup (ADVICE r4: the
+    previous append-only lineage double-counted after a restart).
     """
     import time
 
@@ -122,7 +121,12 @@ def run_stream_with_lineage(
             ],
             "batch_id long, n_input long, n_kept long, n_lowconf long, n_highppl long, wall_s double",
         ).withColumn("ts", F.current_timestamp())
-        row.write.mode("append").parquet(lineage_dir)
+        (
+            row.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(lineage_dir)
+        )
 
     return (
         scored.writeStream.outputMode("append")

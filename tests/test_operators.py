@@ -217,7 +217,8 @@ def test_release_pair_cache(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     jsc = spark.sparkContext._jsc.sc()
-    release_pair_cache()  # drain leftovers from earlier tests in this session
+    # drain leftovers from earlier tests in this session
+    release_pair_cache(include_blocks=True)
     baseline = jsc.getPersistentRDDs().size()  # other suites may cache too
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     # ADVICE r3: release must survive downstream transforms — every entry
@@ -226,11 +227,81 @@ def test_release_pair_cache(spark, sf_dir):
     projected = pairs.select("id_a", "id_b")
     projected.count()  # materialize
     assert jsc.getPersistentRDDs().size() > baseline  # cache in use
-    release_pair_cache(projected)
-    assert jsc.getPersistentRDDs().size() == baseline
-    # no-op on an uncached frame / with no argument
-    release_pair_cache(docs)
+    # the minhash path's caches are recomputable persists — the default
+    # (blocks-excluded) drain frees all of them
     release_pair_cache()
+    assert jsc.getPersistentRDDs().size() == baseline
+    # the deprecated positional argument still works but warns loudly
+    with pytest.warns(DeprecationWarning, match="pair_cache_scope"):
+        release_pair_cache(docs)
+    release_pair_cache()
+
+
+def test_pair_cache_scope_isolated_release(spark, sf_dir):
+    """ADVICE r4 (medium): releasing one result's caches must not make
+    another in-flight result unreadable. Scopes give each call site its
+    own handle: result A's scope exits (freeing its checkpoint blocks)
+    while result B — built OUTSIDE that scope — is still pending, and B
+    must remain fully consumable afterwards."""
+    from language_identification_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    jsc = spark.sparkContext._jsc.sc()
+    dedup.release_pair_cache(include_blocks=True)
+    baseline = jsc.getPersistentRDDs().size()
+
+    # B: checkpoint-backed components result in the (unscoped) default
+    # registry, NOT yet consumed.
+    pairs_b = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp_b = dedup.dedup_components(pairs_b)
+
+    # A: a full LSH run inside its own scope, consumed inside it.
+    with dedup.pair_cache_scope():
+        pairs_a = dedup.minhash_near_duplicates(docs, threshold=0.5)
+        comp_a = dedup.dedup_components(pairs_a)
+        comp_a.count()
+    # A's persists AND checkpoint blocks are gone; B's blocks survive.
+    assert jsc.getPersistentRDDs().size() > baseline
+
+    got_b = sorted(map(tuple, comp_b.collect()))  # B still readable
+    assert got_b == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    dedup.release_pair_cache(include_blocks=True)
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
+def test_spill_dir_honored_without_guard(spark, dup_docs, tmp_path):
+    """ADVICE r4: spill_dir used to be silently ignored when
+    max_bucket=None. Now the corpus-scale disk-backed mode engages
+    independently of the hot-bucket guard: same pairs, a spill table
+    exists during the run, and no banded persist is live."""
+    from language_identification_spark.operators import dedup
+
+    dedup.release_pair_cache(include_blocks=True)
+    with dedup.pair_cache_scope():
+        mem = sorted(
+            map(
+                tuple,
+                dedup.minhash_near_duplicates(
+                    dup_docs, threshold=0.5, max_bucket=None
+                ).collect(),
+            )
+        )
+
+    def spill_tables():
+        return [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("lid_banded_spill_")
+        ]
+
+    with dedup.pair_cache_scope():
+        spill = dedup.minhash_near_duplicates(
+            dup_docs, threshold=0.5, max_bucket=None, spill_dir=str(tmp_path)
+        )
+        got = sorted(map(tuple, spill.collect()))
+        assert spill_tables() != []
+    assert got == mem
+    assert spill_tables() == []
 
 
 def test_split_empty_regex_boundary(spark):
@@ -333,7 +404,7 @@ def test_dedup_components_basic(spark):
         + [(100, 100), (101, 100)]
     )
     assert got == exp
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)
 
 
 def test_components_star_equals_all_pairs(spark):
@@ -353,7 +424,7 @@ def test_components_star_equals_all_pairs(spark):
     got_all = sorted(map(tuple, dedup.dedup_components(allp).collect()))
     got_star = sorted(map(tuple, dedup.dedup_components(star).collect()))
     assert got_all == got_star == [(m, members[0]) for m in members]
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)
 
 
 def test_components_via_lsh_guard(spark, dup_docs):
@@ -380,7 +451,7 @@ def test_components_via_lsh_guard(spark, dup_docs):
         r["doc_id"] for r in dup_docs.collect() if r["doc_id"] not in dropped
     )
     assert 0 in kept_ids and 1 not in kept_ids and 2 not in kept_ids
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)
 
 
 def test_ivf_probe_everything_equals_brute_force(spark, emb):
@@ -420,10 +491,10 @@ def test_spill_to_table_mode(spark, dup_docs, tmp_path):
     corpus-scale mode). Pair output identical; the banded side holds NO
     persistent blocks during the run (only the tiny candidate-pair
     persist); release drops the catalog table."""
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)
     mem = dedup.minhash_near_duplicates(dup_docs, threshold=0.5)
     got_mem = sorted(map(tuple, mem.collect()))
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)
 
     jsc = spark.sparkContext._jsc.sc()
     baseline = jsc.getPersistentRDDs().size()
@@ -444,7 +515,7 @@ def test_spill_to_table_mode(spark, dup_docs, tmp_path):
     # banded table on disk, not in executor memory: the only live persist
     # is the candidate-pair table
     assert jsc.getPersistentRDDs().size() == baseline + 1
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)
     assert jsc.getPersistentRDDs().size() == baseline
     assert spill_tables() == []
 
@@ -455,4 +526,4 @@ def test_dedup_components_raises_on_iteration_cap(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_components(pairs, max_iter=1)
-    dedup.release_pair_cache()
+    dedup.release_pair_cache(include_blocks=True)

@@ -212,3 +212,9 @@ def test_streaming_lineage_per_batch(spark, pages_df, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out_dir).count() == pages_df.count()
+    # r5 (ADVICE): lineage is idempotent too — a replayed batch REPLACES
+    # its lineage row, so the batch path's sum-over-rows idiom stays
+    # correct after a restart with no latest-row-per-batch_id dedup.
+    lineage2 = spark.read.parquet(lin_dir)
+    assert lineage2.count() == 2
+    assert sum(r["n_input"] for r in lineage2.collect()) == pages_df.count()
