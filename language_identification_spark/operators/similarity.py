@@ -195,6 +195,38 @@ def _int_l2(a: Column, b: Column) -> Column:
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_lists: int = 32,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(list_id, cvec) trained coarse centroids via
+    ``pyspark.ml.clustering.KMeans`` — the production quantizer for
+    :func:`ivf_topk` (``quantizer='kmeans'``). Distributed Lloyd
+    iterations (each is one broadcast of k centers + a map-side-combined
+    partial-sum aggregation, the same shape as the assignment step), so
+    training scales to the full corpus; centers are deterministic for a
+    fixed seed. list_id order: centers sorted by their component tuple so
+    the id assignment is stable regardless of MLlib's internal center
+    order."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(vecs)
+    centers = sorted(tuple(float(x) for x in c) for c in model.clusterCenters())
+    return emb.sparkSession.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centers)],
+        "list_id int, cvec array<double>",
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -203,19 +235,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_lists: int = 32,
     n_probe: int = 4,
+    quantizer: str = "sampled",
 ) -> DataFrame:
     """IVF-style ANN: inverted lists under a coarse quantizer, queries
     probe the ``n_probe`` nearest lists, exact cosine re-rank inside the
     probed lists only (the task brief's "IVF variant" next to
     :func:`lsh_topk`).
 
-    Coarse centroids are the ``n_lists`` corpus vectors with the smallest
-    Knuth multiplicative hash of their id — a deterministic, bit-
-    reproducible, SQL-expressible sample (so the whole operator gets a
-    FULL DuckDB gate; iterative KMeans has no SQL twin). Production swaps
-    in ``pyspark.ml.clustering.KMeans`` centroids with the identical
-    assignment/probe/re-rank plan — sampled coarse centroids are the
-    standard cheap quantizer when training is skipped.
+    ``quantizer='sampled'`` (default): coarse centroids are the
+    ``n_lists`` corpus vectors with the smallest Knuth multiplicative
+    hash of their id — a deterministic, bit-reproducible, SQL-expressible
+    sample (so the whole operator gets a FULL DuckDB gate; iterative
+    KMeans has no SQL twin). ``quantizer='kmeans'`` swaps in trained
+    :func:`kmeans_centroids` with the IDENTICAL assignment/probe/re-rank
+    plan — higher recall at equal n_probe (lists follow the data's
+    density instead of a random sample; pinned by
+    tests/test_operators.py::test_ivf_kmeans_quantizer_recall).
 
     Exactness discipline: list ASSIGNMENT is argmin of integer squared-L2
     on the 1e-6 quantized grid (no float order hazard ⇒ both engines
@@ -223,22 +258,40 @@ def ivf_topk(
     at 6 with id tie-break like every embedding gate.
 
     Scale shape: assignment is one broadcast of ``n_lists`` centroids +
-    a map-side-combined min_by aggregation (no window over the corpus);
-    at rest the corpus would be written bucketed by ``list_id`` so a
-    query reads only its probed lists.
+    a map-side-combined min_by aggregation (no window over the corpus —
+    the ≤n_lists centroid ids are collected to the driver, a bounded
+    O(n_lists) action, instead of ranking them under a partitionless
+    window); at rest the corpus would be written bucketed by ``list_id``
+    so a query reads only its probed lists.
     """
-    h = (F.col(id_col) * F.lit(KNUTH)) % F.lit(2**32)
-    cents = (
-        emb.orderBy(h.asc(), F.col(id_col).asc())
-        .limit(n_lists)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    )
-    cw = Window.orderBy(
-        ((F.col("cid") * F.lit(KNUTH)) % F.lit(2**32)).asc(), F.col("cid").asc()
-    )
-    cents = cents.withColumn("list_id", F.row_number().over(cw) - 1).select(
-        "list_id", F.col("cvec").alias("cvec"), _quantized(F.col("cvec")).alias("cq")
-    )
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(emb, n_lists, vec_col).select(
+            "list_id", "cvec", _quantized(F.col("cvec")).alias("cq")
+        )
+    elif quantizer == "sampled":
+        h = (F.col(id_col) * F.lit(KNUTH)) % F.lit(2**32)
+        sampled = (
+            emb.orderBy(h.asc(), F.col(id_col).asc())
+            .limit(n_lists)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
+        # Rank the ≤n_lists sampled ids WITHOUT a partitionless window
+        # (WindowExec would single-partition the rows): collect the bare
+        # ids — bounded by n_lists — order them by the same (hash, id)
+        # key driver-side (exact integer arithmetic, identical to the
+        # SQL ordering), and broadcast-join the tiny id→list_id map back.
+        cids = sorted(
+            (r["cid"] for r in sampled.select("cid").collect()),
+            key=lambda c: ((c * KNUTH) % 2**32, c),
+        )
+        mapping = emb.sparkSession.createDataFrame(
+            [(c, i) for i, c in enumerate(cids)], "cid long, list_id int"
+        )
+        cents = sampled.join(F.broadcast(mapping), "cid").select(
+            "list_id", F.col("cvec").alias("cvec"), _quantized(F.col("cvec")).alias("cq")
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (sampled|kmeans)")
 
     qemb = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _quantized(F.col(vec_col)).alias("vq")
