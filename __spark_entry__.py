@@ -272,6 +272,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("dup_line_ratio", 6).alias("dup_line_ratio"),
         )
 
+    def gopher_repetition(spark, sf):
+        # r5 Gopher §A1.1 completion: top-{2,3,4}-gram char coverage and
+        # duplicate-{5..10}-gram char fractions as native per-row HOF
+        # folds (functions/text.with_repetition_columns — sorted-run
+        # aggregate, no explode/shuffle). The documents table is random
+        # text, so repetition is PLANTED (doc_id % 3: hammered 2-gram /
+        # 5-word phrase ×2 / untouched) identically in both engines; all
+        # fractions are exact integer divisions, round(6) for the hash.
+        from language_identification_spark.functions.text import (
+            DUP_NGRAM_NS,
+            TOP_NGRAM_NS,
+            with_repetition_columns,
+        )
+
+        d = _t(spark, sf, "documents")
+        mode = F.col("doc_id") % 3
+        txt = (
+            F.when(mode == 0, F.concat(F.col("text"), F.lit(" qz wv" * 8)))
+            .when(
+                mode == 1,
+                F.concat(F.col("text"), F.lit(" ka lb mc nd oe pf ka lb mc nd oe")),
+            )
+            .otherwise(F.col("text"))
+        )
+        out = with_repetition_columns(d.select("doc_id", txt.alias("t")), "t")
+        return out.select(
+            "doc_id",
+            *[
+                F.round(f"top_{n}gram_char_frac", 6).alias(f"top_{n}gram_char_frac")
+                for n in TOP_NGRAM_NS
+            ],
+            *[
+                F.round(f"dup_{n}gram_char_frac", 6).alias(f"dup_{n}gram_char_frac")
+                for n in DUP_NGRAM_NS
+            ],
+        )
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -872,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": fingerprints,
         "quality_scores": quality_scores,
         "gopher_scores": gopher_scores,
+        "gopher_repetition": gopher_repetition,
         "cavnar_profile": cavnar_profile,
         "cavnar_predict": cavnar_predict,
         "dunning_predict": dunning_predict,
@@ -990,6 +1028,65 @@ def oracle_sql() -> dict[str, str]:
     from language_identification_spark.pipeline.rules import DEFAULT_STOPWORDS
 
     stops_sql = "[" + ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS) + "]"
+    # gopher_repetition twin: per n, explode word n-grams to rows (the
+    # oracle need not mirror the Spark side's per-row fold — only its
+    # values), count, take the cnt>=2-pinned top/dup char sums, join back.
+    def _rep_cte(n: int, kind: str) -> str:
+        grams = f"""
+          g{n} AS (
+            SELECT doc_id, array_to_string(w[u.i : u.i + {n - 1}], ' ') AS g
+            FROM toks, UNNEST(range(1, len(w) - {n} + 2)) AS u(i)
+          ),
+          c{n} AS (SELECT doc_id, g, count(*) AS cnt FROM g{n} GROUP BY doc_id, g)"""
+        if kind == "top":
+            agg = f"""
+          a{n} AS (
+            SELECT doc_id, CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END AS chars
+            FROM c{n}
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id ORDER BY cnt DESC, length(g) DESC) = 1
+          )"""
+        else:
+            agg = f"""
+          a{n} AS (
+            SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS chars
+            FROM c{n} GROUP BY doc_id
+          )"""
+        return grams + "," + agg
+
+    rep_ns = [(2, "top"), (3, "top"), (4, "top")] + [(n, "dup") for n in range(5, 11)]
+    rep_cols = ",\n            ".join(
+        f"round(least(coalesce(a{n}.chars, 0)::DOUBLE / length(p.t), 1.0), 6) "
+        f"AS {kind}_{n}gram_char_frac"
+        for n, kind in rep_ns
+    )
+    rep_joins = "\n          ".join(f"LEFT JOIN a{n} USING (doc_id)" for n, _ in rep_ns)
+    gopher_repetition_sql = (
+        """
+          WITH planted AS (
+            SELECT doc_id,
+              CASE doc_id % 3
+                WHEN 0 THEN text || '"""
+        + " qz wv" * 8
+        + """'
+                WHEN 1 THEN text || ' ka lb mc nd oe pf ka lb mc nd oe'
+                ELSE text
+              END AS t
+            FROM documents
+          ),
+          toks AS (
+            SELECT doc_id, regexp_split_to_array(t, '[ \\t\\n\\x0B\\f\\r]+') AS w
+            FROM planted
+          ),
+          """
+        + ",\n          ".join(_rep_cte(n, kind) for n, kind in rep_ns)
+        + f"""
+          SELECT p.doc_id,
+            {rep_cols}
+          FROM planted p
+          {rep_joins}
+        """
+    )
     jacc_base = """
       WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
       sh AS (
@@ -1529,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
             round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6) AS dup_line_ratio
           FROM feat
         """,
+        "gopher_repetition": gopher_repetition_sql,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
           FROM documents GROUP BY sha256(text)

@@ -163,6 +163,29 @@ def gen_pages(
         elif mode == 9:  # zero stop words: draw only from the tail vocab
             tail_vocab = vocab[20:]
             text = " ".join(r.choice(tail_vocab) for _ in range(len(words)))
+        # r5 Gopher repetition anomalies — each trips exactly one of the
+        # word-n-gram rules while every other feature stays in bounds.
+        elif mode == 10:  # one 2-gram hammered: top_2gram_char_frac > 0.20
+            # 3 fillers between repeats: a duplicated 5-gram would need an
+            # identical filler TRIPLE in the same alignment (~58^-3), so
+            # only the 2-gram rule trips.
+            pair = [vocab[0], vocab[1]]
+            out = []
+            for k in range(16):
+                out.extend(pair)
+                out.extend(r.choice(vocab) for _ in range(3))
+            text = " ".join(out)
+        elif mode == 11:  # two distinct 5-word phrases, each ×2: dup_5gram
+            # count-2 repeats keep every top_{2,3,4} fraction far under
+            # its bound (2·len4/n_chars) while dup_5 sums BOTH phrases
+            # (2·len5A + 2·len5B)/n_chars — comfortably over 0.15 for
+            # every fixture language incl. short-word zh.
+            pa = [vocab[2], vocab[5], vocab[8], vocab[11], vocab[14]]
+            pb = [vocab[3], vocab[6], vocab[9], vocab[12], vocab[15]]
+            fill = lambda k: [r.choice(vocab) for _ in range(k)]  # noqa: E731
+            text = " ".join(
+                fill(10) + pa + fill(8) + pb + fill(8) + pa + fill(8) + pb + fill(10)
+            )
 
         url = f"https://site{i % 97}.example/{hashlib.sha1(str(i).encode()).hexdigest()[:12]}"
         html = b"<html><body>" + text.encode("utf-8") + b"</body></html>"

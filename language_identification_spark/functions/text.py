@@ -103,10 +103,149 @@ def words(col: Column) -> Column:
 WS_CHARS = " \t\n\x0b\f\r"
 SYMBOL_CHARS = "#!$%&*+=@^~|<>"
 
+# Gopher repetition rules (r5): which word-n-gram orders feed the
+# top-n-gram coverage rule vs the duplicate-n-gram rule (Gopher §A1.1).
+TOP_NGRAM_NS = (2, 3, 4)
+DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def word_ngrams(w: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token array column;
+    ``[]`` when the doc has fewer than n tokens. Same zip_with-over-
+    shifted-slices machinery as :func:`char_ngrams`, token-wise."""
+    if n == 1:
+        return w
+    size = F.size(w)
+    grams = F.slice(w, 1, size - (n - 1))
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, k + 1, size - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # the when() guard keeps slice() from seeing a negative length on
+    # short docs (CaseWhen evaluates only the matched branch per row)
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _L0() -> Column:
+    # lazy: F.lit at module import would require an active SparkContext
+    return F.lit(0).cast("long")
+
+
+def _dup_gram_chars(grams: Column) -> Column:
+    """Σ cnt·len(gram) over grams occurring ≥ 2 times — one fold over the
+    SORTED gram array (equal grams become runs; run length = count), so
+    the whole computation is a per-row codegen-free HOF with no explode/
+    shuffle. Pure integer arithmetic ⇒ bit-identical to the Python twin."""
+
+    def close(acc):
+        return F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(_L0())
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["dup"]).otherwise(acc["dup"] + close(acc)).alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _L0().alias("run"),
+        _L0().alias("dup"),
+    )
+    return F.aggregate(
+        F.array_sort(grams), init, merge, lambda acc: acc["dup"] + close(acc)
+    )
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """cnt·len(gram) of the most frequent gram (ties: the LONGEST gram —
+    the conservative choice, and cnt·len is what the rule consumes so
+    equal (cnt, len) ties are value-irrelevant); 0 when the top count is
+    < 2 (a gram seen once is not repetition — pinned deviation from
+    verbatim Gopher so short docs aren't dropped for having ANY 2-gram).
+    Same sorted-run fold as :func:`_dup_gram_chars`."""
+
+    def prev_len(acc):
+        return F.coalesce(F.length(acc["prev"]).cast("long"), _L0())
+
+    def closes_better(acc):
+        return (acc["run"] > acc["best_cnt"]) | (
+            (acc["run"] == acc["best_cnt"]) & (prev_len(acc) > acc["best_len"])
+        )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        better = (~same) & closes_better(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(better, acc["run"]).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, prev_len(acc)).otherwise(acc["best_len"]).alias("best_len"),
+        )
+
+    def finish(acc):
+        cnt = F.when(closes_better(acc), acc["run"]).otherwise(acc["best_cnt"])
+        ln = F.when(closes_better(acc), prev_len(acc)).otherwise(acc["best_len"])
+        return F.when(cnt >= 2, cnt * ln).otherwise(_L0())
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _L0().alias("run"),
+        _L0().alias("best_cnt"),
+        _L0().alias("best_len"),
+    )
+    return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
+def with_repetition_columns(
+    df: DataFrame, text_col: str = "norm_text"
+) -> DataFrame:
+    """Gopher §A1.1 repetition features as native per-row SQL columns:
+    ``top_{2,3,4}gram_char_frac`` (chars covered by the most frequent
+    word n-gram / total chars; 0 unless it occurs ≥ 2 times) and
+    ``dup_{5..10}gram_char_frac`` (chars in word n-grams occurring ≥ 2
+    times / total chars), each capped at 1.0 (overlapping occurrences
+    can cover more than n_chars). All counts are exact integers divided
+    once ⇒ bit-identical to the Python twin (py_repetition_features)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    w = words(c)
+    for nn in TOP_NGRAM_NS:
+        frac = F.when(
+            n_chars > 0,
+            F.least(
+                _top_gram_chars(word_ngrams(w, nn)).cast("double") / n_chars,
+                F.lit(1.0),
+            ),
+        ).otherwise(F.lit(0.0))
+        df = df.withColumn(f"top_{nn}gram_char_frac", frac)
+    for nn in DUP_NGRAM_NS:
+        frac = F.when(
+            n_chars > 0,
+            F.least(
+                _dup_gram_chars(word_ngrams(w, nn)).cast("double") / n_chars,
+                F.lit(1.0),
+            ),
+        ).otherwise(F.lit(0.0))
+        df = df.withColumn(f"dup_{nn}gram_char_frac", frac)
+    return df
+
 # Gopher-style line heuristics — pinned, no trimming, so Spark SQL, the
 # Python twin, and the DuckDB oracle evaluate byte-identical predicates.
 BULLET_PREFIXES = ("- ", "* ", "•")  # '•' matches with or without space
 ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+# Above this size the stop-word lexicon no longer enters the plan as a
+# literal array (a 10k-element literal bloats every serialized plan/task
+# and the codegen source) — it ships as DATA in a broadcast one-row
+# relation instead (see with_quality_columns).
+LEXICON_LITERAL_MAX = 1024
 
 
 def with_quality_columns(
@@ -119,10 +258,18 @@ def with_quality_columns(
 
     Assumes ``text_col`` is already normalized (no leading/trailing ws).
     ``stopwords`` defaults to :data:`..pipeline.rules.DEFAULT_STOPWORDS`
-    (the per-fixture-language lexicon); it enters the plan as a literal
-    array — a driver→executor broadcast in effect. A production-scale
-    lexicon (10k+ words) would instead ship as a real broadcast set inside
-    the fused UDF, which already takes this same tuple.
+    (the per-fixture-language lexicon). Lexicon transport depends on
+    size: up to :data:`LEXICON_LITERAL_MAX` words it enters the plan as
+    a literal array (constant-folded, zero join machinery); a
+    production-size lexicon (10k+ words) instead rides a ONE-ROW
+    broadcast relation cross-joined onto the input — the plan stays free
+    of the giant literal and the lexicon ships once per executor via the
+    broadcast exchange, exactly like the fused UDF's model broadcast.
+    Both transports evaluate the identical ``array_contains`` predicate
+    per token ⇒ identical ratios and keep decisions (pinned by
+    tests/test_pipeline.py::test_large_lexicon_broadcast_path). The
+    per-token membership scan is O(|lexicon|), fine for debugging; at
+    serving scale the fused UDF's hash-set lookup is the hot path.
 
     Perf note: character counting uses ``translate`` (codegen'd, allocation
     light) instead of ``regexp_replace``, and mean word length is derived
@@ -136,6 +283,16 @@ def with_quality_columns(
     """
     if stopwords is None:
         from ..pipeline.rules import DEFAULT_STOPWORDS as stopwords  # lazy: no cycle
+    if len(stopwords) <= LEXICON_LITERAL_MAX:
+        stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    else:
+        lex = df.sparkSession.createDataFrame(
+            [(list(stopwords),)], "__stop_lex: array<string>"
+        )
+        # one-row broadcast relation: stream-static-join safe, and the
+        # lexicon ships as broadcast data instead of a plan literal
+        df = df.crossJoin(F.broadcast(lex))
+        stop_arr = F.col("__stop_lex")
     c = F.col(text_col)
     w = words(c)
     n_words = F.size(w)
@@ -143,7 +300,6 @@ def with_quality_columns(
     non_symbol = F.length(F.translate(c, SYMBOL_CHARS, ""))
     lines = F.split(c, "\n")
     n_lines = F.size(lines)  # ≥ 1 always: split('', ...) yields ['']
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
     n_bullet = F.size(
         F.filter(
@@ -188,6 +344,8 @@ def with_quality_columns(
             "dup_line_ratio",
             (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
         )
+        .transform(lambda d: with_repetition_columns(d, text_col))
+        .drop("__stop_lex")
     )
 
 
@@ -238,11 +396,14 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
     import pandas as pd
 
     stopset = frozenset(stopwords if stopwords is not None else _default_stopwords())
+    rep_keys = tuple(f"top_{nn}gram_char_frac" for nn in TOP_NGRAM_NS) + tuple(
+        f"dup_{nn}gram_char_frac" for nn in DUP_NGRAM_NS
+    )
     keys = (
         "n_chars", "n_words", "mean_word_len", "symbol_ratio",
         "distinct_word_ratio", "stopword_ratio", "bullet_line_ratio",
         "ellipsis_line_ratio", "dup_line_ratio",
-    )
+    ) + rep_keys
     s = pd.Series(norm_series).reset_index(drop=True)
     n = len(s)
     if n == 0:
@@ -257,6 +418,7 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
     bullet = np.empty(n, dtype=np.int64)
     ellipsis = np.empty(n, dtype=np.int64)
     dup = np.empty(n, dtype=np.int64)
+    rep = {k: np.zeros(n, dtype=np.float64) for k in rep_keys}
     for i, x in enumerate(s):
         toks = [w for w in x.translate(_WS_TO_SPACE).split(" ") if w]
         n_words[i] = len(toks)
@@ -264,6 +426,8 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         toklen[i] = sum(map(len, toks))
         stop_cnt[i] = sum(1 for t in toks if t in stopset)
         n_lines[i], bullet[i], ellipsis[i], dup[i] = _py_line_feats(x)
+        for k, v in py_repetition_features(toks, len(x)).items():
+            rep[k][i] = v
     safe = np.maximum(n_words, 1).astype(np.float64)
     has = n_words > 0
     mean_wl = np.where(has, toklen / safe, 0.0)
@@ -281,6 +445,7 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         "bullet_line_ratio": bullet / nl,
         "ellipsis_line_ratio": ellipsis / nl,
         "dup_line_ratio": dup / nl,
+        **rep,
     }
 
 
@@ -303,7 +468,38 @@ def py_quality_features(norm: str, stopwords: tuple[str, ...] | None = None) -> 
         "bullet_line_ratio": n_bullet / n_lines,
         "ellipsis_line_ratio": n_ellipsis / n_lines,
         "dup_line_ratio": n_dup / n_lines,
+        **py_repetition_features(ws, n_chars),
     }
+
+
+def py_repetition_features(toks: list[str], n_chars: int) -> dict[str, float]:
+    """Python twin of :func:`with_repetition_columns` over an already-
+    tokenized doc: same integer counts, same single division, same 1.0
+    cap and same cnt≥2 pin ⇒ bit-identical floats."""
+    from collections import Counter
+
+    out: dict[str, float] = {}
+    for nn in TOP_NGRAM_NS:
+        key = f"top_{nn}gram_char_frac"
+        grams = [" ".join(toks[i : i + nn]) for i in range(len(toks) - nn + 1)]
+        if not grams or not n_chars:
+            out[key] = 0.0
+            continue
+        counts = Counter(grams)
+        cnt, glen = max(
+            ((v, len(g)) for g, v in counts.items()), key=lambda t: (t[0], t[1])
+        )
+        out[key] = min(cnt * glen / n_chars, 1.0) if cnt >= 2 else 0.0
+    for nn in DUP_NGRAM_NS:
+        key = f"dup_{nn}gram_char_frac"
+        grams = [" ".join(toks[i : i + nn]) for i in range(len(toks) - nn + 1)]
+        if not grams or not n_chars:
+            out[key] = 0.0
+            continue
+        counts = Counter(grams)
+        dup = sum(v * len(g) for g, v in counts.items() if v >= 2)
+        out[key] = min(dup / n_chars, 1.0)
+    return out
 
 
 def py_char_ngrams(text: str, n: int, reference_pad: bool = True) -> list[str]:

@@ -41,6 +41,8 @@ OUTPUT_STRUCT = T.StructType(
     ]
 )
 
+from ..functions.text import DUP_NGRAM_NS, TOP_NGRAM_NS
+
 FUSED_STRUCT = T.StructType(
     [
         T.StructField("lang_pred", T.StringType()),
@@ -56,6 +58,12 @@ FUSED_STRUCT = T.StructType(
         T.StructField("bullet_line_ratio", T.DoubleType()),
         T.StructField("ellipsis_line_ratio", T.DoubleType()),
         T.StructField("dup_line_ratio", T.DoubleType()),
+    ]
+    + [
+        T.StructField(f"top_{n}gram_char_frac", T.DoubleType()) for n in TOP_NGRAM_NS
+    ]
+    + [
+        T.StructField(f"dup_{n}gram_char_frac", T.DoubleType()) for n in DUP_NGRAM_NS
     ]
 )
 

@@ -31,6 +31,13 @@ MIN_STOPWORD_RATIO = 0.01
 MAX_BULLET_LINE_RATIO = 0.9
 MAX_ELLIPSIS_LINE_RATIO = 0.3
 MAX_DUP_LINE_RATIO = 0.3
+# Gopher §A1.1 repetition bounds (r5): chars covered by the most frequent
+# word n-gram (n=2,3,4; counted only when it occurs ≥2 times — see
+# text._top_gram_chars) and chars inside duplicated word n-grams
+# (n=5..10), as fractions of the doc's chars. Thresholds are the Gopher
+# paper's published values.
+MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
 _DEFAULT_STOPWORDS_CACHE: tuple[str, ...] | None = None
@@ -73,9 +80,19 @@ def keep_expr() -> Column:
         & (F.col("bullet_line_ratio") <= MAX_BULLET_LINE_RATIO)
         & (F.col("ellipsis_line_ratio") <= MAX_ELLIPSIS_LINE_RATIO)
         & (F.col("dup_line_ratio") <= MAX_DUP_LINE_RATIO)
+        & _rep_expr()
         & (F.col("lang_conf") >= MIN_LANG_CONF)
         & (F.col("perplexity") <= MAX_PERPLEXITY)
     )
+
+
+def _rep_expr() -> Column:
+    cond = F.lit(True)
+    for n, t in MAX_TOP_NGRAM_CHAR_FRAC.items():
+        cond = cond & (F.col(f"top_{n}gram_char_frac") <= t)
+    for n, t in MAX_DUP_NGRAM_CHAR_FRAC.items():
+        cond = cond & (F.col(f"dup_{n}gram_char_frac") <= t)
+    return cond
 
 
 def py_keep(feats: dict, lang_conf: float, perplexity: float) -> bool:
@@ -90,6 +107,14 @@ def py_keep(feats: dict, lang_conf: float, perplexity: float) -> bool:
         and feats["bullet_line_ratio"] <= MAX_BULLET_LINE_RATIO
         and feats["ellipsis_line_ratio"] <= MAX_ELLIPSIS_LINE_RATIO
         and feats["dup_line_ratio"] <= MAX_DUP_LINE_RATIO
+        and all(
+            feats[f"top_{n}gram_char_frac"] <= t
+            for n, t in MAX_TOP_NGRAM_CHAR_FRAC.items()
+        )
+        and all(
+            feats[f"dup_{n}gram_char_frac"] <= t
+            for n, t in MAX_DUP_NGRAM_CHAR_FRAC.items()
+        )
         and lang_conf >= MIN_LANG_CONF
         and perplexity <= MAX_PERPLEXITY
     )

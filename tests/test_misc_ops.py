@@ -149,3 +149,60 @@ def test_events_quantiles_approx_bound(spark, sf_dir):
             assert lo - 1 - eps <= target <= hi + eps, (
                 etype, col, got, lo, hi, target, eps
             )
+
+
+def test_repetition_columns_native_matches_python(spark):
+    """r5: the native HOF fold (sorted-run aggregate, no explode) must be
+    bit-identical to the Python twin on adversarial shapes — overlapping
+    repeats, cap saturation, ties between gram lengths, short docs."""
+    from language_identification_spark.functions.text import (
+        DUP_NGRAM_NS,
+        TOP_NGRAM_NS,
+        py_quality_features,
+        with_repetition_columns,
+    )
+
+    texts = [
+        "a a a a a a a a",                      # overlap: cap must engage
+        "x y x y x y x y tail words here",      # hammered 2-gram
+        "one two three four five one two three four five end",
+        "alpha beta gamma delta epsilon zeta",  # no repetition at all
+        "w",                                    # 1 token
+        "",                                     # empty
+        "aa bb aa bb cc aa bb",                 # tie shapes
+        "p q r s t u p q r s t u p q r s t u",  # long phrase ×3
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    out = {r["i"]: r for r in with_repetition_columns(df, "t").collect()}
+    keys = [f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS] + [
+        f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS
+    ]
+    for i, t in enumerate(texts):
+        exp = py_quality_features(t)
+        for k in keys:
+            assert out[i][k] == exp[k], (i, k, out[i][k], exp[k])
+
+
+def test_fixture_repetition_anomalies_trip_one_rule_each(pages_pdf):
+    """r5: mode-10 docs trip ONLY the top-2-gram rule; mode-11 docs trip
+    ONLY the dup-5-gram rule — every other feature stays inside bounds,
+    for every fixture language (incl. short-word zh)."""
+    from language_identification_spark.functions.text import py_quality_features
+    from language_identification_spark.pipeline import rules
+
+    pdf = pages_pdf.reset_index(drop=True)
+    m10 = pdf[pdf.index % 20 == 10]
+    m11 = pdf[pdf.index % 20 == 11]
+    assert len(m10) and len(m11)
+    for _, row in m10.iterrows():
+        f = py_quality_features(row["text"].strip())
+        assert f["top_2gram_char_frac"] > rules.MAX_TOP_NGRAM_CHAR_FRAC[2], row["url"]
+        for n in (5, 6, 7, 8, 9, 10):
+            assert f[f"dup_{n}gram_char_frac"] <= rules.MAX_DUP_NGRAM_CHAR_FRAC[n]
+        assert f["distinct_word_ratio"] >= rules.MIN_DISTINCT_WORD_RATIO
+    for _, row in m11.iterrows():
+        f = py_quality_features(row["text"].strip())
+        assert f["dup_5gram_char_frac"] > rules.MAX_DUP_NGRAM_CHAR_FRAC[5], row["url"]
+        for n in (2, 3, 4):
+            assert f[f"top_{n}gram_char_frac"] <= rules.MAX_TOP_NGRAM_CHAR_FRAC[n]
+        assert f["distinct_word_ratio"] >= rules.MIN_DISTINCT_WORD_RATIO
