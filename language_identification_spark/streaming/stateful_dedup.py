@@ -84,3 +84,100 @@ def dedup_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+NEAR_OUT_SCHEMA = "bk string, url string, canonical_url string, n_prior long"
+NEAR_STATE_SCHEMA = "canonical string, seen long"
+
+
+def _make_band_bucket(ttl_ms: int | None):
+    def _bucket(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        canonical, seen = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # deterministic within a micro-batch: rows arrive unordered
+            pdf = pdf.sort_values("url", kind="mergesort")
+            if canonical is None:
+                canonical = pdf.iloc[0]["url"]
+            hits = pdf[pdf["url"] != canonical]
+            if len(hits):
+                out = hits[["bk", "url"]].copy()
+                out["canonical_url"] = canonical
+                out["n_prior"] = seen
+                yield out
+            seen += len(pdf)
+        state.update((canonical, seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _bucket
+
+
+def near_dedup_stream(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    n: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dedup: the batch LSH index
+    (operators.dedup.minhash_band_index) re-expressed as cross-micro-batch
+    state, so a page NEAR-duplicating (not just byte-equal to) something
+    seen in ANY earlier micro-batch is flagged.
+
+    Per incoming page: the same JVM-side shingle hashing + numpy minhash
+    signature as the batch family (stateless transforms, streaming-safe),
+    exploded to its ``bands`` band keys. State lives per band-bucket key
+    (band index + band hash): the bucket's first-seen url becomes its
+    canonical. Every later arrival in that bucket with a different url is
+    emitted as ``(bk, url, canonical_url, n_prior)`` — one row per
+    colliding band, so consumers take ``distinct(url)`` (or group by url
+    to count colliding bands as collision strength).
+
+    CONTRACT — candidates, not verdicts: LSH collisions are the same
+    evidence the batch ``minhash_lsh_candidates`` stage produces; the
+    batch path verifies with exact Jaccard, which a stream cannot (the
+    canonical's text is gone). Production re-verifies flagged pairs
+    offline against the corpus, or treats b-band collision counts as
+    confidence. False-positive rate per band pair is the standard
+    (s^r)-collision curve for r = n_hashes // bands.
+
+    State size: ``bands`` small rows per distinct page (canonical url +
+    counter, partitioned by bucket key like any groupBy) — bounded for
+    unbounded crawls via ``ttl_ms`` processing-time eviction exactly as
+    in :func:`dedup_stream`; an evicted bucket's next page re-registers
+    as canonical.
+    """
+    from ..operators.dedup import _band_table, minhash_signatures
+
+    sigs = minhash_signatures(
+        pages_stream, id_col=url_col, text_col=text_col, n=n,
+        n_hashes=n_hashes, seed=seed,
+    )
+    banded = _band_table(sigs, bands, n_hashes)
+    keyed = banded.select(
+        F.concat_ws(
+            ":", F.col("band").cast("string"), F.col("bh").cast("string")
+        ).alias("bk"),
+        F.col("id").alias("url"),
+    )
+    return keyed.groupBy("bk").applyInPandasWithState(
+        _make_band_bucket(ttl_ms),
+        outputStructType=NEAR_OUT_SCHEMA,
+        stateStructType=NEAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
