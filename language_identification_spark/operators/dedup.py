@@ -500,9 +500,16 @@ def incremental_near_duplicates(
     n_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    candidate_first: bool = False,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard ≥ threshold): incoming documents that
     near-duplicate something ALREADY IN the corpus.
+    ``candidate_first`` picks the verify shape — same measured decision
+    rule as :func:`minhash_near_duplicates`: keep the default while the
+    candidate set broadcasts (measured 1.7× faster); switch to True when
+    candidates exceed the broadcast threshold, where the corpus-side
+    shingle shuffle dominates (measured 2.1× faster there). Identical
+    output either way.
 
     Differences vs :func:`minhash_near_duplicates` (same-shard dedup):
     only new×corpus pairs are considered (new×new belongs to the shard's
@@ -524,33 +531,31 @@ def incremental_near_duplicates(
         .select(F.col("id").alias("new_id"), "corpus_id")
         .distinct()
     )
-    # Candidate-first verify: semi-join both document sides on the
-    # (distinct, usually tiny) candidate id sets BEFORE computing shingle
-    # arrays — at 100 TB the corpus side would otherwise re-shingle every
-    # document just to verify a handful of collisions. ``cand`` feeds
-    # three consumers (two semi-joins + the verify join), hence the
-    # persist above (released via release_pair_cache).
-    shn = (
-        new_df.join(
+    # candidate_first=True: semi-join both document sides on the
+    # candidate id sets BEFORE computing shingle arrays — pays only when
+    # the candidate set cannot broadcast (measured 2.1× win there, 1.7×
+    # LOSS with broadcastable candidates; see minhash_near_duplicates).
+    # ``cand`` feeds multiple consumers either way, hence the persist
+    # above (released via scope/release_pair_cache).
+    shn_src, shc_src = new_df, corpus_df
+    if candidate_first:
+        shn_src = new_df.join(
             cand.select("new_id"), F.col(id_col) == F.col("new_id"), "left_semi"
         )
-        .select(
-            F.col(id_col).alias("new_id"),
-            F.array_distinct(
-                char_ngrams(F.col(text_col), n, reference_pad=False)
-            ).alias("sh_n"),
-        )
-    )
-    shc = (
-        corpus_df.join(
+        shc_src = corpus_df.join(
             cand.select("corpus_id"), F.col(id_col) == F.col("corpus_id"), "left_semi"
         )
-        .select(
-            F.col(id_col).alias("corpus_id"),
-            F.array_distinct(
-                char_ngrams(F.col(text_col), n, reference_pad=False)
-            ).alias("sh_c"),
-        )
+    shn = shn_src.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(
+            char_ngrams(F.col(text_col), n, reference_pad=False)
+        ).alias("sh_n"),
+    )
+    shc = shc_src.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(
+            char_ngrams(F.col(text_col), n, reference_pad=False)
+        ).alias("sh_c"),
     )
     return (
         cand.join(shn, "new_id")
@@ -583,8 +588,28 @@ def minhash_near_duplicates(
     seed: int = 42,
     max_bucket: int | None = 10_000,
     spill_dir: str | None = None,
+    candidate_first: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Verify-stage shape (``candidate_first``) — MEASURED r5, see
+    BENCH.md's A/B section (``bench.py --lsh-ab``):
+
+    - ``False`` (default, "always-shingle"): every doc's shingle array is
+      computed in the same narrow pass and joined against the candidate
+      pairs. When candidates ≪ corpus — the realistic web regime —
+      Spark/AQE BROADCASTS the candidate side, so the verify is a
+      narrow scan: no corpus shuffle ever happens. Measured 1.7–2.4×
+      faster than candidate-first at 160k–1.28M docs with ~1% dups.
+    - ``True`` ("candidate-first"): semi-join the corpus down to
+      candidate ids before shingling. Pays extra stages and a
+      materialization barrier; only wins when the candidate-id set is
+      too large to broadcast (≳ the broadcast threshold, i.e. many
+      millions of candidates) so the verify join must shuffle — there
+      the semi-join cuts the shuffle from O(corpus·shingle-bytes) to
+      O(corpus·8B); measured 2.1× faster in that regime (broadcast
+      disabled, incremental shape). Output identical either way
+      (test_candidate_first_ab_equivalence).
 
     ``spill_dir`` switches the banded-signature cache from executor-memory
     persist() to a Hive-bucketed on-disk table (corpus-scale mode; see
@@ -604,39 +629,40 @@ def minhash_near_duplicates(
     listing — use ``max_bucket=None`` for that). Call
     :func:`release_pair_cache` on the result after materializing it.
 
-    Measured trade-off of the candidate-first semi-join (A/B at sf0.1,
-    planted-dup corpus where EVERY doc is a candidate — the worst case):
-    ~2.9 s always-shingle vs ~5 s candidate-first, the delta being the
-    serialization barrier behind candidate materialization plus the semi-
-    join stages, all fixed stage overheads. At corpus scale the ratio
-    inverts: always-shingle SHUFFLES every document's shingle array into
-    the verify join (O(corpus) shuffle bytes to verify a near-empty pair
-    set), while candidate-first shuffles only candidates. The scale shape
-    is the default; the toy-scale delta is priced in the bench notes.
+    History of the default: r4 argued the candidate-first semi-join was
+    the scale shape ("always-shingle shuffles the corpus to verify a
+    near-empty pair set"). The r5 A/B at 160k–1.28M docs / ~1% planted
+    dups MEASURED the opposite in the realistic regime — the small
+    candidate set broadcasts, the verify join never shuffles the corpus,
+    and the semi-join's extra stages cost 1.7–2.4×. The claimed
+    inversion is real only once candidates exceed the broadcast
+    threshold (reproduced by disabling broadcast joins: candidate-first
+    wins 2.1× in the incremental shape). Hence the measured default:
+    always-shingle, with ``candidate_first=True`` as the explicit
+    huge-candidate-set escape hatch. Numbers: BENCH.md A/B section.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
     cand = _register_cache(
         minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
     )
-    # Candidate-first verify: semi-join the corpus on the (distinct,
-    # usually tiny) candidate id set BEFORE computing shingle arrays —
-    # without it every document is re-shingled just to verify the few
-    # that collided in some band. ``cand`` feeds three consumers (the id
-    # set + both sides of the verify join), hence the persist (released
-    # via release_pair_cache).
+    # candidate_first=True: semi-join the corpus on the candidate id set
+    # BEFORE computing shingle arrays (the non-broadcastable-candidates
+    # escape hatch; see the docstring's measured decision rule). ``cand``
+    # feeds multiple consumers either way, hence the persist (released
+    # via scope/release_pair_cache).
     # No .distinct() on the id set: left_semi deduplicates by construction,
     # and the extra shuffle measured ~+3s on the sf0.1 gate corpus.
-    cand_ids = cand.select(F.col("id_a").alias("cid")).unionAll(
-        cand.select(F.col("id_b").alias("cid"))
-    )
-    sh = (
-        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                char_ngrams(F.col(text_col), n, reference_pad=False)
-            ).alias("sh"),
+    sh = df
+    if candidate_first:
+        cand_ids = cand.select(F.col("id_a").alias("cid")).unionAll(
+            cand.select(F.col("id_b").alias("cid"))
         )
+        sh = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh = sh.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            char_ngrams(F.col(text_col), n, reference_pad=False)
+        ).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -571,3 +571,40 @@ def test_dedup_components_raises_on_iteration_cap(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_components(pairs, max_iter=1)
     dedup.release_pair_cache(include_blocks=True)
+
+
+def test_candidate_first_ab_equivalence(spark, dup_docs):
+    """r5: the candidate-first and always-shingle verify shapes are an
+    output-identical A/B pair, for both same-shard and incremental LSH."""
+    with dedup.pair_cache_scope():
+        a = sorted(
+            map(tuple, dedup.minhash_near_duplicates(dup_docs, threshold=0.5).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.minhash_near_duplicates(
+                    dup_docs, threshold=0.5, candidate_first=False
+                ).collect(),
+            )
+        )
+    assert a == b and len(a) > 0
+
+    corpus = dup_docs.filter("doc_id % 2 = 0")
+    new = dup_docs.filter("doc_id % 2 = 1")
+    with dedup.pair_cache_scope():
+        ia = sorted(
+            map(
+                tuple,
+                dedup.incremental_near_duplicates(new, corpus, threshold=0.5).collect(),
+            )
+        )
+        ib = sorted(
+            map(
+                tuple,
+                dedup.incremental_near_duplicates(
+                    new, corpus, threshold=0.5, candidate_first=False
+                ).collect(),
+            )
+        )
+    assert ia == ib and len(ia) > 0

@@ -164,18 +164,38 @@ def _assert_verify_shingles_semi_joined(df, out_aliases):
     assert hits >= 2, f"expected >=2 verify shingle Projects, found {hits}\n{plan}"
 
 
-def test_lsh_verify_is_candidate_first(spark, sf_dir):
-    """r4: both LSH verify stages semi-join the document sides on the
-    (distinct, tiny) candidate id set BEFORE re-shingling — at 100 TB the
-    corpus must not be re-shingled to verify a handful of collisions."""
+def test_lsh_verify_candidate_first_plan(spark, sf_dir):
+    """When the huge-candidate-set escape hatch is requested
+    (candidate_first=True — see the r5 measured decision rule in the
+    operator docstring), both LSH verify stages must actually semi-join
+    the document sides on the candidate id set BEFORE re-shingling."""
     from language_identification_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    near = dedup.minhash_near_duplicates(docs.limit(100), threshold=0.5)
+    near = dedup.minhash_near_duplicates(
+        docs.limit(100), threshold=0.5, candidate_first=True
+    )
     _assert_verify_shingles_semi_joined(near, ("id_a", "id_b"))
 
     corpus = docs.filter("doc_id % 2 = 0")
     new = docs.filter("doc_id % 2 = 1")
-    inc = dedup.incremental_near_duplicates(new, corpus, threshold=0.5)
+    inc = dedup.incremental_near_duplicates(
+        new, corpus, threshold=0.5, candidate_first=True
+    )
     _assert_verify_shingles_semi_joined(inc, ("new_id", "corpus_id"))
+    dedup.release_pair_cache()
+
+
+def test_lsh_verify_default_broadcasts_candidates(spark, sf_dir):
+    """The r5 measured default (always-shingle): with a small candidate
+    set the verify join BROADCASTS the candidate side, so the corpus's
+    shingle arrays are scanned narrowly — never shuffled — and no
+    LeftSemi appears in the verify plan."""
+    from language_identification_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = dedup.minhash_near_duplicates(docs.limit(100), threshold=0.5)
+    plan = near._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     dedup.release_pair_cache()
