@@ -65,6 +65,46 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _synth_url() -> F.Column:
+    """Deterministic raw-URL column from doc_id, shared by the
+    url_normalize / host_stats gates and their DuckDB twins (the
+    documents table has no URL column). Exercises every pinned
+    canonicalization rule: scheme/host case, ``www.``, default ``:80``
+    vs explicit ``:8080`` port, trailing slash, unsorted + ``utm_``
+    query params, fragment."""
+    did = F.col("doc_id")
+    m = {k: did % k for k in (2, 3, 4, 5)}
+    return F.concat(
+        F.when(m[2] == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(m[3] == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        m[5].cast("string"),
+        F.lit(".Example.COM"),
+        F.when(m[4] == 0, F.lit(":80"))
+        .when(m[4] == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"),
+        did.cast("string"),
+        F.when(m[3] == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(m[2] == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("")),
+        F.when(m[5] == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      'Site' || (doc_id % 5)::VARCHAR || '.Example.COM' ||
+      (CASE WHEN doc_id % 4 = 0 THEN ':80'
+            WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+      '/Path/' || doc_id::VARCHAR ||
+      (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '' END) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END)
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — one entry per operator
 # ---------------------------------------------------------------------------
@@ -307,6 +347,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round(f"dup_{n}gram_char_frac", 6).alias(f"dup_{n}gram_char_frac")
                 for n in DUP_NGRAM_NS
             ],
+        )
+
+    def boilerplate_removal(spark, sf):
+        # r5 net-new: cross-document line dedup (CCNet/RefinedWeb
+        # boilerplate removal). The documents table is single-line, so
+        # site boilerplate is PLANTED identically in both engines: a
+        # per-source header (repeats across every doc of that source)
+        # and a global footer around the (unique) original text. With
+        # min_docs=3 both planted lines are dropped and the content
+        # line survives; all outputs exact strings/ints.
+        from language_identification_spark.operators.boilerplate import (
+            remove_boilerplate_lines,
+        )
+
+        d = _t(spark, sf, "documents")
+        planted = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("=== "), F.col("source"), F.lit(" nav ===")),
+                F.col("text"),
+                F.lit("(c) example corp - all rights reserved"),
+            ).alias("text"),
+        )
+        return remove_boilerplate_lines(planted, min_docs=3)
+
+    def url_normalize(spark, sf):
+        # r5 net-new: URL canonicalization (functions/urls.py pinned
+        # rules). The documents table has no URLs, so raw URLs are
+        # SYNTHESIZED deterministically from doc_id — covering scheme/
+        # host case, www., default vs explicit port, trailing slash,
+        # utm params + unsorted params, and fragments — identically in
+        # both engines; the oracle re-implements the same regexp chain.
+        from language_identification_spark.functions.urls import (
+            normalize_url,
+            url_host,
+        )
+
+        d = _t(spark, sf, "documents")
+        raw = _synth_url()
+        return d.select(
+            "doc_id",
+            normalize_url(raw).alias("url_norm"),
+            url_host(raw).alias("host"),
+        )
+
+    def host_stats(spark, sf):
+        # Host-level rollup over canonical hosts (domain filtering's
+        # input shape): plain hash aggregation, exact ints.
+        from language_identification_spark.functions.urls import url_host
+
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(url_host(_synth_url()).alias("host"), "n_chars")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        )
+
+    def events_distinct_exact(spark, sf):
+        # exact distinct twin for the HLL sketch below (gate-scale only:
+        # count(distinct) shuffles every distinct value)
+        from language_identification_spark.operators.sketches import (
+            exact_distinct_by,
+        )
+
+        return exact_distinct_by(_t(spark, sf, "events"), ["event_type"], "user_id")
+
+    def events_distinct_approx(spark, sf):
+        # r5 net-new: HLL++ distinct sketch — the bounded-memory,
+        # mergeable 100 TB shape (operators/sketches.py). No DuckDB
+        # value twin (sketch internals differ by engine) → rows/schema
+        # gate; the error bound vs the exact twin is asserted in
+        # tests/test_misc_ops.py::test_approx_distinct_error_bound.
+        from language_identification_spark.operators.sketches import (
+            approx_distinct_by,
+        )
+
+        return approx_distinct_by(_t(spark, sf, "events"), ["event_type"], "user_id")
+
+    def ngram_contamination(spark, sf):
+        # r5 net-new: benchmark decontamination (eval-set word-n-gram
+        # overlap, operators/decontamination.py). Eval set = every 10th
+        # doc, corpus = the rest; n=3 so the shared fixture vocabulary
+        # produces a real overlap distribution (the production 13-gram
+        # setting would be all-zero on random text). Exact distinct
+        # counts + one rounded division.
+        from language_identification_spark.operators.decontamination import (
+            ngram_contamination as contam,
+        )
+
+        d = _t(spark, sf, "documents")
+        return contam(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            n=3,
         )
 
     def dedup_exact(spark, sf):
@@ -921,6 +1056,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_importances_topk": feature_importances_topk,
         "salted_lang_stats": salted_lang_stats,
         "user_sessions": user_sessions,
+        "boilerplate_removal": boilerplate_removal,
+        "url_normalize": url_normalize,
+        "host_stats": host_stats,
+        "events_distinct_exact": events_distinct_exact,
+        "events_distinct_approx": events_distinct_approx,
+        "ngram_contamination": ngram_contamination,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
@@ -1627,6 +1768,137 @@ def oracle_sql() -> dict[str, str]:
           FROM feat
         """,
         "gopher_repetition": gopher_repetition_sql,
+        "boilerplate_removal": """
+          WITH planted AS (
+            SELECT doc_id,
+                   '=== ' || source || ' nav ===' || chr(10) || text ||
+                   chr(10) || '(c) example corp - all rights reserved' AS t
+            FROM documents
+          ),
+          ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM planted),
+          lines AS (
+            SELECT doc_id, u.i AS pos, l[u.i] AS line
+            FROM ls, UNNEST(range(1, len(l) + 1)) AS u(i)
+          ),
+          block AS (
+            SELECT line FROM (
+              SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+            ) WHERE nd >= 3
+          ),
+          kept AS (
+            SELECT * FROM lines WHERE line NOT IN (SELECT line FROM block)
+          ),
+          rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+          ),
+          totals AS (SELECT doc_id, len(l) AS n_lines FROM ls)
+          SELECT t.doc_id, coalesce(r.clean, '') AS text, t.n_lines,
+                 t.n_lines - coalesce(r.n_kept, 0) AS n_lines_dropped
+          FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "url_normalize": f"""
+          WITH raw AS (
+            SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+          ),
+          parts AS (
+            SELECT doc_id,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+            FROM raw
+          ),
+          hp AS (
+            SELECT doc_id, scheme,
+              regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                             '^www\\.', '') AS hostport,
+              regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                             '#.*$', '') AS pathq
+            FROM parts
+          ),
+          norm AS (
+            SELECT doc_id, scheme,
+              CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                   ELSE hostport END AS host,
+              regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+              regexp_extract(pathq, '\\?(.*)$', 1) AS query
+            FROM hp
+          ),
+          q AS (
+            SELECT doc_id, scheme, host, path,
+              array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS qs
+            FROM norm
+          )
+          SELECT doc_id,
+            scheme || '://' || host || path ||
+            (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_norm,
+            host
+          FROM q
+        """,
+        "host_stats": f"""
+          WITH raw AS (
+            SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents
+          ),
+          h AS (
+            SELECT n_chars,
+              CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                   THEN regexp_replace(regexp_replace(lower(regexp_extract(
+                        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^([^/?#]*)', 1)), '^www\\.', ''), ':80$', '')
+                   ELSE regexp_replace(lower(regexp_extract(
+                        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^([^/?#]*)', 1)), '^www\\.', '')
+              END AS host
+            FROM raw
+          )
+          SELECT host, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+          FROM h GROUP BY host
+        """,
+        "events_distinct_exact": """
+          SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                 count(*) AS n_rows
+          FROM events GROUP BY event_type
+        """,
+        "ngram_contamination": """
+          WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+          ),
+          evals AS (
+            SELECT text FROM documents WHERE doc_id % 10 = 0
+          ),
+          ct AS (
+            SELECT doc_id,
+                   regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS w
+            FROM corpus
+          ),
+          et AS (
+            SELECT regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS w
+            FROM evals
+          ),
+          cg AS (
+            SELECT DISTINCT doc_id, array_to_string(w[u.i : u.i + 2], ' ') AS g
+            FROM ct, UNNEST(range(1, len(w) - 3 + 2)) AS u(i)
+          ),
+          eg AS (
+            SELECT DISTINCT array_to_string(w[u.i : u.i + 2], ' ') AS g
+            FROM et, UNNEST(range(1, len(w) - 3 + 2)) AS u(i)
+          ),
+          tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+          hit AS (
+            SELECT doc_id, count(*) AS n_contaminated
+            FROM cg WHERE g IN (SELECT g FROM eg) GROUP BY doc_id
+          )
+          SELECT c.doc_id, coalesce(t.n_grams, 0) AS n_grams,
+                 coalesce(h.n_contaminated, 0) AS n_contaminated,
+                 CASE WHEN coalesce(t.n_grams, 0) > 0
+                      THEN round(coalesce(h.n_contaminated, 0)::DOUBLE / t.n_grams, 6)
+                      ELSE 0.0 END AS contamination_frac
+          FROM corpus c
+          LEFT JOIN tot t USING (doc_id)
+          LEFT JOIN hit h USING (doc_id)
+        """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
           FROM documents GROUP BY sha256(text)

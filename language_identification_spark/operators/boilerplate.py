@@ -1,0 +1,121 @@
+"""Cross-document line deduplication (boilerplate removal) — the
+CCNet / RefinedWeb preprocessing step the reference pipeline's per-doc
+heuristics assume has already happened: navigation bars, cookie banners
+and copyright footers repeat VERBATIM across pages of a site, and the
+per-doc Gopher ``dup_line_ratio`` cannot see repetition that is only
+visible corpus-wide (each doc contains the line once).
+
+Net-new operator (task brief's training-data-pipeline family; no
+counterpart in the reference — its fixture corpus is pre-cleaned).
+
+Scale shape (the part that must survive 100 TB):
+- lines are exploded ONCE with their position, and each doc contributes
+  a line at most once to the frequency count (``count(DISTINCT doc)``
+  shape, realized as a pre-``distinct`` + plain count — cheaper than a
+  distinct-agg because the (line, doc) pair set is already the explode's
+  natural key);
+- the frequency table keys on a 64-bit ``xxhash64`` of the line, NOT the
+  line text: the shuffle moves 8-byte keys, and the join back to the
+  exploded lines is hash-on-hash (collision risk 2^-64 per pair,
+  the same accepted risk as the exact-dedup digest);
+- the blocklist (lines in ≥ ``min_docs`` docs) is usually tiny relative
+  to the corpus but unbounded in principle, so the plan joins it
+  shuffle-side (no broadcast hint) and lets AQE broadcast it when it
+  measures small — the same regime logic as the LSH verify stage;
+- reassembly groups by doc and re-sorts the surviving (pos, line) pairs
+  with ``sort_array(collect_list(...))`` — one shuffle keyed on doc id,
+  partial-aggregated map-side.
+
+Exactness: pure string/hash SQL end to end ⇒ FULL DuckDB gate
+(``boilerplate_removal`` in ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_lines(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pos, line) — one row per line per document, 0-based position.
+
+    ``split`` on bare ``\\n`` (no trimming, no empty-line filtering):
+    byte-identical lines are what repeat across a site's pages, and the
+    pinned no-trim discipline matches the Gopher line heuristics
+    (functions/text.py) and keeps the DuckDB twin exact."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def line_document_frequency(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(line_hash, line, n_docs) — how many DISTINCT documents contain
+    each line. A doc repeating a line internally counts once (internal
+    repetition is the per-doc ``dup_line_ratio``'s job)."""
+    return (
+        doc_lines(docs, id_col, text_col)
+        .select("id", F.xxhash64("line").alias("line_hash"), "line")
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("line").alias("line"))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every line that appears in ≥ ``min_docs`` distinct documents;
+    returns (id_col, text_col rebuilt from surviving lines in original
+    order, n_lines, n_lines_dropped).
+
+    A doc whose every line is boilerplate survives with ``text_col=''``
+    (downstream quality rules drop empties — this operator only removes
+    lines, it does not decide document fate)."""
+    lines = doc_lines(docs, id_col, text_col).withColumn(
+        "line_hash", F.xxhash64("line")
+    )
+    block = (
+        lines.select("id", "line_hash")
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_hash")
+    )
+    kept = lines.join(block, "line_hash", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    # per-doc line totals straight from size(split(...)) — no second
+    # explode/aggregation; left join from the full doc list: docs whose
+    # every line was boilerplate disappear from `rebuilt` but must
+    # survive with ''
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        totals
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_lines_dropped"
+            ),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Benchmark decontamination — flag training documents that overlap an
+evaluation set's word n-grams (the GPT-3/PaLM-style 13-gram check;
+every LLM training-data pipeline runs one before a corpus ships).
+
+Net-new operator (task brief's training-data-pipeline family; no
+reference counterpart).
+
+Scale shape: the EVAL side is small by definition (benchmarks are
+thousands of docs, the corpus is billions), so its distinct n-gram hash
+set is broadcast — the corpus side streams through one narrow
+explode→semi-match pass with NO shuffle of corpus n-grams; the only
+shuffle is the per-doc count re-aggregation keyed on doc id (map-side
+combined). N-grams travel as 64-bit ``xxhash64`` keys, never strings
+(2^-64 per-pair collision risk, the exact-dedup digest discipline).
+
+Exactness: distinct counts are exact integers, one division at the end
+⇒ FULL DuckDB gate (``ngram_contamination`` in ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams, words
+
+
+def _doc_gram_hashes(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, gh): DISTINCT word-n-gram hashes per document (overlap is a
+    set property; a doc repeating an eval n-gram counts it once)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("g"),
+        )
+        .select("id", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_grams, n_contaminated, contamination_frac) per corpus
+    document: how many of the doc's distinct word n-grams also occur
+    anywhere in ``evalset``, as a count and a fraction of the doc's
+    distinct n-grams. Docs shorter than ``n`` words have ``n_grams=0``
+    and ``contamination_frac=0.0`` (nothing to leak).
+
+    The caller picks the policy (drop above a threshold, or route to
+    review); this operator only measures — same candidates-not-verdicts
+    discipline as the LSH family."""
+    ev = evalset.select(
+        F.explode(word_ngrams(words(F.col(text_col)), n)).alias("g")
+    ).select(F.xxhash64("g").alias("gh")).distinct()
+    dg = _doc_gram_hashes(corpus, n, id_col, text_col)
+    # broadcast hint on the eval side: benchmarks are small by
+    # definition, and without the hint a cold-stats corpus join would
+    # shuffle every corpus n-gram hash
+    hits = (
+        dg.join(F.broadcast(ev), "gh", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = dg.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+        )
+    )

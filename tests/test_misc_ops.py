@@ -206,3 +206,49 @@ def test_fixture_repetition_anomalies_trip_one_rule_each(pages_pdf):
         for n in (2, 3, 4):
             assert f[f"top_{n}gram_char_frac"] <= rules.MAX_TOP_NGRAM_CHAR_FRAC[n]
         assert f["distinct_word_ratio"] >= rules.MIN_DISTINCT_WORD_RATIO
+
+
+def test_url_normalize_cases(spark):
+    """r5 URL canonicalization: each pinned rule on a hand-built case
+    set (scheme/host case, www., default vs explicit port, trailing
+    slash, utm + param sort, fragment, schemeless passthrough)."""
+    from language_identification_spark.functions.urls import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Site.COM:80/A/b/?utm_source=x&b=2&a=1#frag",
+         "http://site.com/A/b?a=1&b=2"),
+        ("https://Example.org:443/", "https://example.org"),
+        ("https://example.org:8443/x/", "https://example.org:8443/x"),
+        ("http://example.com", "http://example.com"),
+        ("http://example.com/?utm_a=1&utm_b=2", "http://example.com"),
+        ("ftp://Host.com/File", "ftp://host.com/File"),
+        ("not a url#frag", "not a url"),
+        ("http://example.com/p?z=1&y=2&utm_x=0", "http://example.com/p?y=2&z=1"),
+        ("https://a.com///", "https://a.com"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    got = df.select("url", "expected", normalize_url(F.col("url")).alias("norm")).collect()
+    for r in got:
+        assert r["norm"] == r["expected"], r["url"]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """r5 HLL sketch: approx_count_distinct lands within 5x the
+    configured rsd of the exact distinct count (rsd=0.05; HLL++ is well
+    inside that in practice — the margin keeps the assertion stable)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    approx = {
+        r["event_type"]: r for r in qs["events_distinct_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r for r in qs["events_distinct_exact"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for k in exact:
+        assert approx[k]["n_rows"] == exact[k]["n_rows"]
+        rel = abs(approx[k]["n_approx"] - exact[k]["n_exact"]) / max(
+            exact[k]["n_exact"], 1
+        )
+        assert rel <= 5 * 0.05, (k, approx[k]["n_approx"], exact[k]["n_exact"])

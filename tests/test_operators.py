@@ -608,3 +608,89 @@ def test_candidate_first_ab_equivalence(spark, dup_docs):
             )
         )
     assert ia == ib and len(ia) > 0
+
+
+def test_line_document_frequency(spark):
+    """r5 boilerplate family: a line counts once per doc no matter how
+    often the doc repeats it internally (internal repetition belongs to
+    the per-doc dup_line_ratio)."""
+    from language_identification_spark.operators import boilerplate as bp
+
+    rows = [
+        (0, "HEADER\nunique zero\nFOOTER"),
+        (1, "HEADER\nunique one\nFOOTER"),
+        (2, "HEADER\nunique two\nFOOTER\nFOOTER"),
+        (3, "HEADER\nFOOTER"),
+        (4, "solo line"),
+        (5, "pairline\nunique five"),
+        (6, "pairline\nunique six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    freq = {r["line"]: r["n_docs"] for r in bp.line_document_frequency(docs).collect()}
+    assert freq["HEADER"] == 4
+    assert freq["FOOTER"] == 4  # doc 2's double FOOTER counts once
+    assert freq["pairline"] == 2
+    assert freq["solo line"] == 1
+
+
+def test_remove_boilerplate_lines(spark):
+    """Cross-doc line dedup drops lines in >= min_docs docs, preserves
+    original line order, keeps all-boilerplate docs as empty strings,
+    and counts internally-repeated dropped lines per occurrence."""
+    from language_identification_spark.operators import boilerplate as bp
+
+    rows = [
+        (0, "HEADER\nunique zero\nFOOTER"),
+        (1, "HEADER\nunique one\nFOOTER"),
+        (2, "HEADER\nunique two\nFOOTER\nFOOTER"),
+        (3, "HEADER\nFOOTER"),
+        (4, "solo line"),
+        (5, "pairline\nunique five"),
+        (6, "pairline\nunique six"),
+        (7, "keep a\nHEADER\nkeep b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bp.remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert len(out) == len(rows)
+    assert out[0]["text"] == "unique zero"
+    assert out[2]["text"] == "unique two"
+    assert out[2]["n_lines"] == 4 and out[2]["n_lines_dropped"] == 3
+    assert out[3]["text"] == "" and out[3]["n_lines_dropped"] == 2
+    assert out[4]["text"] == "solo line" and out[4]["n_lines_dropped"] == 0
+    assert out[5]["text"] == "pairline\nunique five"  # 2 docs < min_docs=3
+    assert out[7]["text"] == "keep a\nkeep b"  # order preserved around a drop
+
+    strict = {
+        r["doc_id"]: r for r in bp.remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert strict[5]["text"] == "unique five"  # pairline now crosses the bar
+
+
+def test_ngram_contamination(spark):
+    """r5 decontamination: per-doc distinct word-n-gram overlap vs an
+    eval set — fraction math, short/empty docs, and the count-once rule
+    for internally repeated grams."""
+    from language_identification_spark.operators.decontamination import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # 4 trigrams, one ("c d e") in eval
+            (1, "x y z w v u"),        # no overlap
+            (2, "a b"),                # shorter than n
+            (3, ""),                   # empty
+            (4, "c d e c d e c d"),    # repeats "c d e": counts once
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(100, "c d e q r s")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, evalset, n=3).collect()}
+    assert len(out) == 5
+    assert out[0]["n_grams"] == 4 and out[0]["n_contaminated"] == 1
+    assert out[0]["contamination_frac"] == 0.25
+    assert out[1]["n_contaminated"] == 0 and out[1]["contamination_frac"] == 0.0
+    assert out[2]["n_grams"] == 0 and out[2]["contamination_frac"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["contamination_frac"] == 0.0
+    assert out[4]["n_grams"] == 3 and out[4]["n_contaminated"] == 1
+    assert out[4]["contamination_frac"] == round(1 / 3, 6)
