@@ -444,6 +444,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=3,
         )
 
+    def unicode_normalize(spark, sf):
+        # r5 net-new: the canonicalization pass (functions/normalize.py)
+        # — control-strip (native regexp) then Unicode NFC (pandas UDF,
+        # byte-identical to DuckDB nfc_normalize: both are UAX #15). The
+        # fixture text is ASCII-clean, so denormalized material is
+        # PLANTED identically in both engines: a BEL control char, a
+        # decomposed e+COMBINING ACUTE word, and an ANGSTROM SIGN that
+        # NFC rewrites to U+00C5.
+        from language_identification_spark.functions.normalize import (
+            normalize_text,
+        )
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        raw = F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit("\x07")).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" 10\u212b")).otherwise(F.lit("")),
+        )
+        return d.select(
+            "doc_id",
+            normalize_text(raw).alias("text_norm"),
+            F.length(raw).alias("n_chars_raw"),
+            F.length(normalize_text(raw)).alias("n_chars_norm"),
+        )
+
+    def compression_signal(spark, sf):
+        # r5 net-new: Dolma/RedPajama zlib compressibility signal
+        # (functions/normalize.py). No SQL engine exposes zlib -> no
+        # oracle entry (rows/schema gate); values pinned in pytest
+        # against driver-side zlib on the same rows
+        # (test_misc_ops::test_compression_ratio_values).
+        from language_identification_spark.functions.normalize import (
+            compression_ratio,
+        )
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            compression_ratio(F.col("text")).alias("zlib_ratio"),
+        )
+
+    def stratified_sample(spark, sf):
+        # r5 net-new: deterministic corpus mixing (operators/sampling.py)
+        # — per-language keep rates via sha256-bucket thresholds (the
+        # retry-safe alternative to rand(); see module docstring). 'zh'
+        # deliberately unlisted => default_rate=0 pins the explicit-
+        # allowlist semantics. Bucket column included so the oracle
+        # verifies the hash arithmetic itself, not just the survivor set.
+        from language_identification_spark.operators.sampling import (
+            sample_bucket,
+            stratified_hash_sample,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang")
+        rates = {"en": 0.25, "de": 0.8, "fr": 0.5, "es": 1.0}
+        kept = stratified_hash_sample(
+            d, rates, strata_col="lang", key_col="doc_id", salt="mix1"
+        )
+        return kept.select(
+            "doc_id",
+            "lang",
+            sample_bucket(F.col("doc_id"), "mix1").alias("bucket"),
+        )
+
+    def span_dedup(spark, sf):
+        # r5 net-new: span-level exact-substring dedup (operators/
+        # span_dedup.py) — a 6-word license slogan is PLANTED on every
+        # 4th doc identically in both engines; its interior k=4 windows
+        # are cross-doc duplicates, so every non-canonical planted doc
+        # loses the slogan words while the canonical (min doc_id) keeps
+        # them. Organic cross-doc 4-grams in the fixture text are
+        # handled identically by both engines. Exact strings/ints.
+        from language_identification_spark.operators.span_dedup import (
+            remove_duplicate_spans,
+        )
+
+        d = _t(spark, sf, "documents")
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit(" creative commons attribution share alike license"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return remove_duplicate_spans(planted, k=4)
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -1062,6 +1154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_exact": events_distinct_exact,
         "events_distinct_approx": events_distinct_approx,
         "ngram_contamination": ngram_contamination,
+        "unicode_normalize": unicode_normalize,
+        "compression_signal": compression_signal,
+        "stratified_sample": stratified_sample,
+        "span_dedup": span_dedup,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
@@ -1898,6 +1994,92 @@ def oracle_sql() -> dict[str, str]:
           FROM corpus c
           LEFT JOIN tot t USING (doc_id)
           LEFT JOIN hit h USING (doc_id)
+        """,
+        "unicode_normalize": """
+          WITH raw AS (
+            SELECT doc_id,
+              text ||
+              (CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END) ||
+              (CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END) ||
+              (CASE WHEN doc_id % 5 = 0 THEN ' 10' || chr(8491) ELSE '' END) AS t
+            FROM documents
+          ),
+          norm AS (
+            SELECT doc_id, t,
+              nfc_normalize(regexp_replace(
+                t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'
+              )) AS text_norm
+            FROM raw
+          )
+          SELECT doc_id, text_norm,
+                 length(t)::BIGINT AS n_chars_raw,
+                 length(text_norm)::BIGINT AS n_chars_norm
+          FROM norm
+        """,
+        "stratified_sample": """
+          WITH b AS (
+            SELECT doc_id, lang,
+              (('0x' || substr(sha256('mix1' || doc_id::VARCHAR), 1, 8))::UBIGINT
+               % 1000000)::BIGINT AS bucket
+            FROM documents
+          )
+          SELECT doc_id, lang, bucket FROM b
+          WHERE bucket < (CASE lang
+            WHEN 'de' THEN 800000
+            WHEN 'en' THEN 250000
+            WHEN 'es' THEN 1000000
+            WHEN 'fr' THEN 500000
+            ELSE 0 END)
+        """,
+        "span_dedup": """
+          WITH planted AS (
+            SELECT doc_id,
+              text || (CASE WHEN doc_id % 4 = 0
+                THEN ' creative commons attribution share alike license'
+                ELSE '' END) AS t
+            FROM documents
+          ),
+          tok AS (
+            SELECT doc_id,
+                   regexp_split_to_array(t, '[ \\t\\n\\x0B\\f\\r]+') AS w
+            FROM planted
+          ),
+          wp AS (
+            SELECT doc_id, u.i - 1 AS pos, w[u.i] AS word
+            FROM tok, UNNEST(range(1, len(w) + 1)) AS u(i)
+          ),
+          grams AS (
+            SELECT doc_id, u.i - 1 AS s,
+                   array_to_string(w[u.i : u.i + 3], ' ') AS g
+            FROM tok, UNNEST(range(1, len(w) - 4 + 2)) AS u(i)
+          ),
+          freq AS (
+            SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS canon
+            FROM grams GROUP BY g
+          ),
+          flagged AS (
+            SELECT gr.doc_id, gr.s
+            FROM grams gr JOIN freq f ON gr.g = f.g
+            WHERE f.nd >= 2 AND gr.doc_id <> f.canon
+          ),
+          covered AS (
+            SELECT DISTINCT doc_id, s + o.o AS pos
+            FROM flagged, UNNEST(range(0, 4)) AS o(o)
+          ),
+          keptw AS (
+            SELECT wp.doc_id, wp.pos, wp.word
+            FROM wp ANTI JOIN covered USING (doc_id, pos)
+          ),
+          rebuilt AS (
+            SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean,
+                   count(*) AS nk
+            FROM keptw GROUP BY doc_id
+          ),
+          totals AS (SELECT doc_id, len(w) AS n_words FROM tok)
+          SELECT t.doc_id, coalesce(r.clean, '') AS text,
+                 t.n_words::BIGINT AS n_words,
+                 (t.n_words - coalesce(r.nk, 0))::BIGINT AS n_words_dropped
+          FROM totals t LEFT JOIN rebuilt r USING (doc_id)
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups

@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "token_counts",
     "fingerprints",
     "quality_scores",
+    "boilerplate_removal",
+    "host_stats",
+    "ngram_contamination",
+    "unicode_normalize",
+    "compression_signal",
+    "stratified_sample",
+    "span_dedup",
     "dedup_exact",
     "minhash_near_dups",
     "dedup_incremental",

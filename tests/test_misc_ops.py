@@ -252,3 +252,66 @@ def test_approx_distinct_error_bound(spark, sf_dir):
             exact[k]["n_exact"], 1
         )
         assert rel <= 5 * 0.05, (k, approx[k]["n_approx"], exact[k]["n_exact"])
+
+
+def test_normalize_text_cases(spark):
+    """r5 unicode canonicalization: NFC composition, angstrom-sign
+    rewrite, control-char strip (keeping tab/newline/CR), null/empty
+    passthrough, and the pinned strip-then-NFC order."""
+    from language_identification_spark.functions.normalize import (
+        normalize_text,
+        strip_control_chars,
+    )
+
+    cases = [
+        ("café", "café"),           # NFD -> NFC
+        ("café", "café"),            # already NFC: unchanged
+        ("10Å", "10Å"),              # ANGSTROM SIGN -> A-ring
+        ("a\x00b\x07c", "abc"),                # C0 controls stripped
+        ("l1\nl2\tl3\rl4", "l1\nl2\tl3\rl4"),  # \t \n \r survive
+        ("\x7f", ""),                          # DEL stripped
+        ("", ""),
+        ("한가", "한가"),  # Hangul jamo compose
+    ]
+    df = spark.createDataFrame(cases, "raw string, expected string")
+    for r in df.select("raw", "expected", normalize_text(F.col("raw")).alias("n")).collect():
+        assert r["n"] == r["expected"], repr(r["raw"])
+    # null passthrough (pandas UDF must not crash on None)
+    nul = spark.createDataFrame([(None,)], "raw string")
+    assert nul.select(normalize_text(F.col("raw")).alias("n")).first()["n"] is None
+    assert nul.select(strip_control_chars(F.col("raw")).alias("n")).first()["n"] is None
+
+
+def test_compression_ratio_values(spark):
+    """r5 zlib compressibility signal: values pinned against the same
+    zlib from driver python (no SQL twin exists), plus the two regime
+    sanity checks the quality rules rely on (repetitive ≪ prose-like)."""
+    import zlib
+
+    from language_identification_spark.functions.normalize import compression_ratio
+
+    texts = [
+        "ab" * 500,                                    # repetitive: tiny ratio
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "x",                                           # shorter than the zlib header
+        "",                                            # empty -> 0.0
+        "".join(  # high entropy: sha256 keystream mapped to printable
+            chr(33 + b % 90)
+            for i in range(13)
+            for b in __import__("hashlib").sha256(bytes([i])).digest()
+        ),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", compression_ratio(F.col("t")).alias("r")).collect()
+    }
+    for i, t in enumerate(texts):
+        if t:
+            b = t.encode("utf-8")
+            exp = round(len(zlib.compress(b, 6)) / len(b), 6)
+        else:
+            exp = 0.0
+        assert got[i] == exp, (i, got[i], exp)
+    assert got[0] < 0.1              # repetition compresses away
+    assert got[4] > got[1] > got[0]  # entropy ordering

@@ -694,3 +694,94 @@ def test_ngram_contamination(spark):
     assert out[3]["n_grams"] == 0 and out[3]["contamination_frac"] == 0.0
     assert out[4]["n_grams"] == 3 and out[4]["n_contaminated"] == 1
     assert out[4]["contamination_frac"] == round(1 / 3, 6)
+
+
+def test_hash_sampling(spark):
+    """r5 corpus mixing: hash sampling is deterministic across calls
+    (the property rand() lacks under retries), rate-accurate, salt-
+    decorrelated, and allowlist-strict for unlisted strata."""
+    from language_identification_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.3, salt="s1").collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, 0.3, salt="s1").collect())
+    assert a == b and len(a) > 0  # bit-identical rerun
+    assert abs(len(a) / 20000 - 0.3) < 0.02  # rate accuracy
+    c = set(r["doc_id"] for r in hash_sample(df, 0.3, salt="s2").collect())
+    inter = len(set(a) & c)
+    # independent salts => overlap ~= rate^2 (0.09), far below rate
+    assert abs(inter / 20000 - 0.09) < 0.02
+    # nested rates are NOT subsets across salts but ARE for same salt
+    d = set(r["doc_id"] for r in hash_sample(df, 0.1, salt="s1").collect())
+    assert d <= set(a)  # threshold monotonicity: 0.1-sample within 0.3-sample
+
+    strat = stratified_hash_sample(df, {"en": 1.0}, salt="s1")
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert langs == {"en"}  # unlisted stratum fully dropped
+    assert strat.count() == df.filter("lang = 'en'").count()  # rate 1.0 keeps all
+
+
+def test_stratified_sample_rejects_huge_rate_table(spark):
+    from language_identification_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast rates table"):
+        stratified_hash_sample(df, {f"l{i}": 0.5 for i in range(1025)})
+
+
+def test_remove_duplicate_spans(spark):
+    """r5 span dedup: cross-doc k-window passages removed from
+    non-canonical docs only; passages longer than k tile via overlapping
+    windows; same-doc repetition untouched; short docs pass through;
+    whitespace canonicalization pinned."""
+    from language_identification_spark.operators.span_dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "one two three four five six"  # 6 words, k=4 -> tiles fully
+    rows = [
+        (0, f"alpha {shared} beta"),
+        (1, f"gamma delta {shared} epsilon"),
+        (2, "tiny doc"),                          # < k words: no windows
+        (3, "rep rep rep rep rep rep rep rep"),   # same-doc only: kept
+        (4, f"zeta  {shared}"),                   # double space canonicalized
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    assert len(out) == len(rows)
+    # doc 0 is canonical (min id among 0,1,4): keeps everything
+    assert out[0]["text"] == f"alpha {shared} beta"
+    assert out[0]["n_words_dropped"] == 0
+    # docs 1 and 4 lose exactly the shared 6 words
+    assert out[1]["text"] == "gamma delta epsilon"
+    assert out[1]["n_words_dropped"] == 6
+    assert out[4]["text"] == "zeta" and out[4]["n_words_dropped"] == 6
+    assert out[2]["text"] == "tiny doc" and out[2]["n_words_dropped"] == 0
+    assert out[3]["n_words_dropped"] == 0  # cross-doc only
+
+
+def test_duplicated_spans_building_block(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from language_identification_spark.operators.span_dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(10, "a b c d x"), (20, "y a b c d"), (30, "unrelated words here now")],
+        "doc_id long, text string",
+    )
+    got = duplicated_spans(docs, k=4).collect()
+    # exactly one duplicated window ("a b c d") at s=0 in doc 10, s=1 in doc 20
+    assert {(r["id"], r["s"], r["canonical_id"]) for r in got} == {
+        (10, 0, 10),
+        (20, 1, 10),
+    }

@@ -177,3 +177,44 @@ def test_dedup_components_path_log_rounds(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         with dedup.pair_cache_scope():
             dedup.dedup_components(pairs, max_iter=1)
+
+
+def test_span_dedup_random_corpora_vs_python_oracle(spark):
+    """r5 span dedup on seeded random small-vocab corpora (heavy organic
+    k-gram collisions, same-doc repeats, short docs) must equal a direct
+    pure-Python implementation of the pinned semantics."""
+    import random
+
+    from language_identification_spark.operators.span_dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(20260817)
+    K = 3
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab => many collisions
+    rows = []
+    for did in range(80):
+        n = rng.randrange(0, 15)
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(n)) if n else "x"))
+
+    freq: dict[str, set[int]] = {}
+    toks = {did: t.split(" ") for did, t in rows}
+    for did, w in toks.items():
+        for i in range(len(w) - K + 1):
+            freq.setdefault(" ".join(w[i:i + K]), set()).add(did)
+    exp = {}
+    for did, w in toks.items():
+        cov: set[int] = set()
+        for i in range(len(w) - K + 1):
+            ds = freq[" ".join(w[i:i + K])]
+            if len(ds) >= 2 and did != min(ds):
+                cov.update(range(i, i + K))
+        keep = [w[i] for i in range(len(w)) if i not in cov]
+        exp[did] = (" ".join(keep), len(w), len(w) - len(keep))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["n_words_dropped"])
+        for r in remove_duplicate_spans(docs, k=K).collect()
+    }
+    assert got == exp
