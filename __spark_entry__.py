@@ -536,6 +536,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return remove_duplicate_spans(planted, k=4)
 
+    def domain_filter(spark, sf):
+        # r5 net-new: host-level filtering (operators/domains.py) — the
+        # RefinedWeb drop-whole-domains stage. Hosts from the synthesized
+        # URL column (the url_normalize construction, incl. the :8080
+        # port split); keep hosts with >=2 docs and mean n_chars over a
+        # threshold that splits the fixture hosts (6 of 10 survive at
+        # sf0.01); return surviving docs.
+        from language_identification_spark.functions.urls import url_host
+        from language_identification_spark.operators.domains import (
+            filter_by_host,
+            host_stats as hstats,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "n_chars", url_host(_synth_url()).alias("host")
+        )
+        stats = hstats(d, value_col="n_chars")
+        kept = filter_by_host(
+            d,
+            stats,
+            (F.col("n_docs") >= 2) & (F.col("mean_value") >= 299.0),
+        )
+        return kept.select("doc_id", d["host"].alias("host"))
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -1158,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_signal": compression_signal,
         "stratified_sample": stratified_sample,
         "span_dedup": span_dedup,
+        "domain_filter": domain_filter,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
@@ -2080,6 +2105,32 @@ def oracle_sql() -> dict[str, str]:
                  t.n_words::BIGINT AS n_words,
                  (t.n_words - coalesce(r.nk, 0))::BIGINT AS n_words_dropped
           FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "domain_filter": f"""
+          WITH raw AS (
+            SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents
+          ),
+          h AS (
+            SELECT doc_id, n_chars,
+              CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                   THEN regexp_replace(regexp_replace(lower(regexp_extract(
+                        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^([^/?#]*)', 1)), '^www\\.', ''), ':80$', '')
+                   ELSE regexp_replace(lower(regexp_extract(
+                        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^([^/?#]*)', 1)), '^www\\.', '')
+              END AS host
+            FROM raw
+          ),
+          st AS (
+            SELECT host, count(*) AS n_docs,
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_value
+            FROM h GROUP BY host
+          ),
+          good AS (
+            SELECT host FROM st WHERE n_docs >= 2 AND mean_value >= 299.0
+          )
+          SELECT doc_id, host FROM h WHERE host IN (SELECT host FROM good)
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups

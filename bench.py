@@ -462,12 +462,14 @@ would shuffle every document's shingle array into the verify join. The
 r5 measurement in the realistic regime (candidates ≪ corpus —
 {ab['same_shard_pairs']:,} verified same-shard pairs /
 {ab['incremental_pairs']:,} incremental pairs out of {ab['n_docs']:,}
-docs) shows the premise is wrong while candidates are broadcastable:
-Spark/AQE broadcasts the tiny candidate side, the verify is a narrow
-scan of the corpus with NO shuffle of shingle arrays, and
-candidate-first only adds a materialization barrier plus semi-join
-stages. Speedup below = candidate-first wall ÷ always-shingle wall
-(>1 ⇒ always-shingle faster):
+docs) shows the premise does not hold while candidates are
+broadcastable: Spark/AQE broadcasts the tiny candidate side, the verify
+is a narrow scan of the corpus with NO shuffle of shingle arrays, and
+candidate-first's materialization barrier + semi-join stages buy at
+best parity (run-to-run the broadcast-regime ratios range ~0.9-1.8× on
+this contended host; always-shingle never loses materially, and wins
+clearly in the same-shard shape). Speedup below = candidate-first wall
+÷ always-shingle wall (>1 ⇒ always-shingle faster):
 
 | regime | job | candidate-first (s) | always-shingle (s) | always-shingle is N× faster |
 |---|---|---|---|---|
@@ -479,9 +481,9 @@ stages. Speedup below = candidate-first wall ÷ always-shingle wall
 So the measured decision rule (now the operator default + escape hatch):
 **always-shingle while the candidate-id set broadcasts; candidate-first
 once it cannot** — with broadcast disabled the verify join must shuffle
-both sides and the semi-join prefilter's shuffle-byte savings pay off in
-the incremental shape (ratio < 1 above), which is exactly the r4
-argument, valid only in that regime.
+both sides and the semi-join prefilter's shuffle-byte savings pay off
+(ratios < 1 above), which is exactly the r4 argument, valid only in
+that regime.
 
 Input: deterministic synthetic corpus (`bench.synth_lsh_corpus`) of
 ~unique hash-generated 40-word docs with every 100th doc a one-word-off

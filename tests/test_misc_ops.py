@@ -315,3 +315,35 @@ def test_compression_ratio_values(spark):
         assert got[i] == exp, (i, got[i], exp)
     assert got[0] < 0.1              # repetition compresses away
     assert got[4] > got[1] > got[0]  # entropy ordering
+
+
+def test_url_normalize_idempotent(spark):
+    """Canonicalization must be a projection: normalize(normalize(x)) ==
+    normalize(x) over a deterministic URL-ish fuzz set (mixed case,
+    ports, utm params, fragments, trailing slashes, garbage)."""
+    import random
+
+    from language_identification_spark.functions.urls import normalize_url
+
+    rng = random.Random(20260817)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+    hosts = ["WWW.Example.COM", "site.org", "A.B.c", "www.x.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/A/b/", "///", "/p%20q"]
+    queries = ["", "?a=1", "?utm_s=1", "?b=2&a=1&utm_x=0", "?&&a=1"]
+    frags = ["", "#f", "#A/B?c=1"]
+    urls = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        u = (s + "://" if s else "") + rng.choice(hosts) + rng.choice(ports) \
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        urls.append((u,))
+    urls += [("",), ("   ",), ("no scheme at all",), ("a#b#c",)]
+    df = spark.createDataFrame(urls, "url string")
+    once = normalize_url(F.col("url"))
+    bad = (
+        df.select("url", once.alias("n1"), normalize_url(once).alias("n2"))
+        .filter("n1 <> n2")
+        .collect()
+    )
+    assert not bad, bad[:5]

@@ -785,3 +785,33 @@ def test_duplicated_spans_building_block(spark):
         (10, 0, 10),
         (20, 1, 10),
     }
+
+
+def test_host_filtering(spark):
+    """r5 domain filtering: exact per-host rollup (pinned round-6 mean),
+    predicate over host aggregates keeps exactly the member docs via
+    semi-join, and docs never widen with stat columns."""
+    from language_identification_spark.operators.domains import (
+        filter_by_host,
+        host_stats,
+    )
+
+    rows = [
+        (0, "a.com", 100), (1, "a.com", 200),          # mean 150.0
+        (2, "b.com", 10), (3, "b.com", 11),            # mean 10.5
+        (4, "c.com", 1000),                            # 1 doc: n_docs guard
+        (5, "d.com", 1), (6, "d.com", 2), (7, "d.com", 4),  # mean 7/3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, n_chars long")
+    st = {r["host"]: r for r in host_stats(docs, value_col="n_chars").collect()}
+    assert st["a.com"]["n_docs"] == 2 and st["a.com"]["sum_value"] == 300
+    assert st["a.com"]["mean_value"] == 150.0
+    assert st["d.com"]["mean_value"] == round(7 / 3, 6)  # pinned rounding
+
+    kept = filter_by_host(
+        docs,
+        host_stats(docs, value_col="n_chars"),
+        (F.col("n_docs") >= 2) & (F.col("mean_value") >= 100.0),
+    )
+    assert kept.columns == ["doc_id", "host", "n_chars"]  # no stat widening
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1]

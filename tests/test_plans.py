@@ -199,3 +199,57 @@ def test_lsh_verify_default_broadcasts_candidates(spark, sf_dir):
     assert "LeftSemi" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     dedup.release_pair_cache()
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """r5 decontamination: the eval n-gram hash set must broadcast into
+    the LeftSemi — a shuffle of corpus n-gram hashes against a
+    benchmark-sized eval set is the plan this operator exists to avoid."""
+    from language_identification_spark.operators.decontamination import (
+        ngram_contamination,
+    )
+    from language_identification_spark.plans.asserts import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_contamination(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=3
+    )
+    plan = explain_str(out)
+    import re
+
+    semis = re.findall(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert semis, plan
+
+
+def test_sampling_is_shuffle_free(spark, sf_dir):
+    """r5 corpus mixing: a deterministic sample is scan+filter — any
+    Exchange means the operator stopped being a pushable predicate."""
+    from language_identification_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from language_identification_spark.plans.asserts import assert_no_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(docs, {"en": 0.5, "de": 0.1})
+    assert_no_shuffle(out)
+
+
+def test_host_filter_is_semi_join(spark, sf_dir):
+    """r5 domain filtering: the verdict joins back as a semi-join (docs
+    must not widen with stat columns), with no broadcast HINT — the
+    regime is AQE's call because host tables can exceed the threshold."""
+    from language_identification_spark.operators.domains import (
+        filter_by_host,
+        host_stats,
+    )
+    from language_identification_spark.plans.asserts import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    )
+    out = filter_by_host(
+        docs, host_stats(docs, value_col="n_chars"), F.col("n_docs") >= 2
+    )
+    plan = explain_str(out)
+    assert "LeftSemi" in plan, plan
+    assert "ResolvedHint" not in plan
