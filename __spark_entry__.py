@@ -560,6 +560,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", d["host"].alias("host"))
 
+    def asof_join(spark, sf):
+        # r5 net-new: temporal as-of join (operators/asof.py, the
+        # union+running-window shape) vs DuckDB's NATIVE ASOF LEFT JOIN
+        # — a genuine two-implementation gate, not a twin of our own
+        # SQL. Each non-error event gets the user's latest error at or
+        # before its timestamp. Timestamps go out as epoch micros so
+        # both engines canonicalize identically; the oracle pre-dedups
+        # (user, ts) ties to the max-event_id row, which is exactly what
+        # the Spark side's tiebreak=event_id picks.
+        from language_identification_spark.operators.asof import (
+            asof_join as asof,
+        )
+
+        ev = _t(spark, sf, "events")
+        left = ev.filter(F.col("event_type") != "error").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        right = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        out = asof(
+            left,
+            right,
+            key="user_id",
+            ts="ts",
+            payload_cols=["ts", "value"],
+            tiebreak="event_id",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+            F.col("asof_value"),
+        )
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -1183,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "span_dedup": span_dedup,
         "domain_filter": domain_filter,
+        "asof_join": asof_join,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
@@ -2131,6 +2170,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT host FROM st WHERE n_docs >= 2 AND mean_value >= 299.0
           )
           SELECT doc_id, host FROM h WHERE host IN (SELECT host FROM good)
+        """,
+        "asof_join": """
+          WITH r0 AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (
+                     PARTITION BY user_id, ts ORDER BY event_id DESC
+                   ) AS rn
+            FROM events WHERE event_type = 'error'
+          ),
+          r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+          l AS (
+            SELECT event_id, user_id, ts, event_type, value
+            FROM events WHERE event_type <> 'error'
+          )
+          SELECT l.event_id, l.user_id, l.event_type,
+                 epoch_us(l.ts) AS ts_us, l.value,
+                 epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups

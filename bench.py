@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "asof_join",
     "events_daily",
     "tpch_q1",
     "revenue_join",

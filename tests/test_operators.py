@@ -815,3 +815,43 @@ def test_host_filtering(spark):
     )
     assert kept.columns == ["doc_id", "host", "n_chars"]  # no stat widening
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1]
+
+
+def test_asof_join_semantics(spark):
+    """r5 as-of join: backward <= pick, exact-match visibility toggle,
+    max-tiebreak at tied timestamps, NULL payload when nothing precedes,
+    and multiple left rows sharing one right match."""
+    from pyspark.sql import Row
+
+    from language_identification_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 10, 250), (4, 20, 100), (5, 10, 50)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(11, 10, 100, 1.0), (12, 10, 100, 2.0), (13, 10, 240, 3.0), (14, 30, 5, 9.0)],
+        "rid long, k long, t long, v double",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, key="k", ts="t", payload_cols=["t", "v"], tiebreak="rid"
+        ).collect()
+    }
+    assert out[1]["asof_v"] == 2.0      # exact-ts match visible, max rid wins tie
+    assert out[2]["asof_v"] == 2.0      # carried forward past 100
+    assert out[3]["asof_v"] == 3.0      # newer right row at 240
+    assert out[4]["asof_v"] is None     # key 20 has no right rows
+    assert out[5]["asof_v"] is None     # t=50 precedes every right row
+    assert set(out) == {1, 2, 3, 4, 5}  # left-outer: every left row survives
+
+    strict = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, key="k", ts="t", payload_cols=["v"],
+            tiebreak="rid", allow_exact=False,
+        ).collect()
+    }
+    assert strict[1]["asof_v"] is None  # exact ts now invisible
+    assert strict[2]["asof_v"] == 2.0   # strictly-earlier rows still seen
