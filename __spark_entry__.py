@@ -598,6 +598,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("asof_value"),
         )
 
+    def interval_join(spark, sf):
+        # r5 net-new: interval-point range join (operators/
+        # interval_join.py, time-bin bucketing) vs DuckDB's native
+        # inequality join (IEJoin) — the second two-implementation gate.
+        # Each 'signup' event opens a 1-day [ts, ts+86400s) window;
+        # every other event of the same user inside it matches. Epoch
+        # micros throughout (exact BIGINT bin arithmetic).
+        from language_identification_spark.operators.interval_join import (
+            interval_point_join,
+        )
+
+        ev = _t(spark, sf, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        intervals = ev.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            F.col("event_id").alias("s_event_id"),
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + 86_400_000_000).alias("end_us"),
+        )
+        points = ev.filter(F.col("event_type") != "signup").select(
+            "user_id",
+            F.col("event_id").alias("p_event_id"),
+            F.col("event_type").alias("p_type"),
+            "ts_us",
+        )
+        return interval_point_join(
+            intervals, points, key="user_id", start="start_us", end="end_us",
+            ts="ts_us", bin_width_us=86_400_000_000,
+        )
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -1222,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": span_dedup,
         "domain_filter": domain_filter,
         "asof_join": asof_join,
+        "interval_join": interval_join,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
@@ -2189,6 +2221,27 @@ def oracle_sql() -> dict[str, str]:
                  epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
           FROM l ASOF LEFT JOIN r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join": """
+          WITH ev AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+          ),
+          i AS (
+            SELECT user_id, event_id AS s_event_id,
+                   ts_us AS start_us, ts_us + 86400000000 AS end_us
+            FROM ev WHERE event_type = 'signup'
+          ),
+          p AS (
+            SELECT user_id, event_id AS p_event_id,
+                   event_type AS p_type, ts_us
+            FROM ev WHERE event_type <> 'signup'
+          )
+          SELECT i.user_id, i.s_event_id, i.start_us, i.end_us,
+                 p.p_event_id, p.p_type, p.ts_us
+          FROM i JOIN p
+            ON i.user_id = p.user_id
+           AND p.ts_us >= i.start_us AND p.ts_us < i.end_us
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups

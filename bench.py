@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "asof_join",
+    "interval_join",
+    "domain_filter",
     "events_daily",
     "tpch_q1",
     "revenue_join",

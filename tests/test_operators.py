@@ -855,3 +855,44 @@ def test_asof_join_semantics(spark):
     }
     assert strict[1]["asof_v"] is None  # exact ts now invisible
     assert strict[2]["asof_v"] == 2.0   # strictly-earlier rows still seen
+
+
+def test_interval_point_join(spark):
+    """r5 range join: half-open containment, bin-boundary exactness
+    (points exactly at start/end/bin edges), multi-bin intervals, empty
+    intervals match nothing, no duplicate pairs from bin replication."""
+    from language_identification_spark.operators.interval_join import (
+        interval_point_join,
+    )
+
+    W = 100
+    iv = spark.createDataFrame(
+        [(1, 1, 50, 250), (2, 1, 250, 250), (3, 2, 0, 100), (4, 1, 240, 260)],
+        "iid long, k long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(10, 1, 50), (11, 1, 249), (12, 1, 250), (13, 2, 99), (14, 2, 100),
+         (15, 1, 100), (16, 3, 60)],
+        "pid long, k long, t long",
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in interval_point_join(
+            iv, pts, key="k", start="s", end="e", ts="t", bin_width_us=W
+        ).collect()
+    }
+    assert got == {
+        (1, 10),   # t == start: included
+        (1, 11),   # interior, interval spans bins 0..2
+        (1, 15),   # exactly on a bin boundary inside the interval
+        (4, 11),   # t=249 in [240,260) — overlapping intervals both match
+        (4, 12),   # t=250 in [240,260)
+        (3, 13),   # t=99 in [0,100)
+        # (1,12) excluded: t == end (half-open); (2,*) empty interval;
+        # (3,14) t==end; (16,*) no interval for key 3
+    }
+    # no duplicates even though interval 1 replicates to 3 bins
+    rows = interval_point_join(
+        iv, pts, key="k", start="s", end="e", ts="t", bin_width_us=W
+    ).collect()
+    assert len(rows) == len(got)
