@@ -629,6 +629,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts="ts_us", bin_width_us=86_400_000_000,
         )
 
+    def curation_pipeline(spark, sf):
+        # r5 composition gate: the end-to-end curation chain as ONE
+        # query — normalize (control-strip + NFC) → quality filter
+        # (word-count bounds) → exact dedup (planted: every 50th doc's
+        # text is replaced with a constant boilerplate string, so one
+        # canonical survives per planted group) → deterministic lang-
+        # stratified mix. Each stage reuses an operator gated on its
+        # own; this gate pins that they COMPOSE (column contracts,
+        # survivor sets) with a single DuckDB twin of the whole chain.
+        from pyspark.sql import Window
+
+        from language_identification_spark.functions.normalize import (
+            normalize_text,
+        )
+        from language_identification_spark.functions.text import words
+        from language_identification_spark.operators.sampling import (
+            sample_bucket,
+            stratified_hash_sample,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("doc_id") % 50 == 0, F.lit("spam spam spam")
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        norm = d.select(
+            "doc_id", "lang", normalize_text(F.col("text")).alias("text")
+        )
+        qual = norm.withColumn("n_words", F.size(words(F.col("text")))).filter(
+            (F.col("n_words") >= 3) & (F.col("n_words") <= 1000)
+        )
+        canon = (
+            qual.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        mixed = stratified_hash_sample(
+            canon,
+            {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
+            strata_col="lang",
+            key_col="doc_id",
+            salt="cur1",
+        )
+        return mixed.select(
+            "doc_id",
+            "lang",
+            "n_words",
+            sample_bucket(F.col("doc_id"), "cur1").alias("bucket"),
+        )
+
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
         return (
@@ -1254,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": domain_filter,
         "asof_join": asof_join,
         "interval_join": interval_join,
+        "curation_pipeline": curation_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
@@ -2242,6 +2300,45 @@ def oracle_sql() -> dict[str, str]:
           FROM i JOIN p
             ON i.user_id = p.user_id
            AND p.ts_us >= i.start_us AND p.ts_us < i.end_us
+        """,
+        "curation_pipeline": """
+          WITH planted AS (
+            SELECT doc_id, lang,
+              CASE WHEN doc_id % 50 = 0 THEN 'spam spam spam' ELSE text END AS text
+            FROM documents
+          ),
+          norm AS (
+            SELECT doc_id, lang,
+              nfc_normalize(regexp_replace(
+                text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'
+              )) AS text
+            FROM planted
+          ),
+          qual AS (
+            SELECT * FROM (
+              SELECT doc_id, lang, text,
+                     len(regexp_split_to_array(
+                       text, '[ \\t\\n\\x0B\\f\\r]+'))::INT AS n_words
+              FROM norm
+            ) WHERE n_words BETWEEN 3 AND 1000
+          ),
+          canon AS (
+            SELECT doc_id, lang, n_words FROM (
+              SELECT doc_id, lang, n_words,
+                     row_number() OVER (
+                       PARTITION BY sha256(text) ORDER BY doc_id
+                     ) AS rk
+              FROM qual
+            ) WHERE rk = 1
+          ),
+          mixed AS (
+            SELECT doc_id, lang, n_words,
+              (('0x' || substr(sha256('cur1' || doc_id::VARCHAR), 1, 8))::UBIGINT
+               % 1000000)::BIGINT AS bucket
+            FROM canon
+          )
+          SELECT doc_id, lang, n_words, bucket FROM mixed
+          WHERE bucket < (CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END)
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
