@@ -464,11 +464,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(did % 2 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
             F.when(did % 5 == 0, F.lit(" 10\u212b")).otherwise(F.lit("")),
         )
+        # one projection computes the (Arrow-batched) NFC UDF, the next
+        # derives the length from it — invoking normalize_text twice in
+        # one select would run the Python pass twice per row (Spark does
+        # not CSE across Python UDF calls)
         return d.select(
             "doc_id",
             normalize_text(raw).alias("text_norm"),
             F.length(raw).alias("n_chars_raw"),
-            F.length(normalize_text(raw)).alias("n_chars_norm"),
+        ).select(
+            "doc_id",
+            "text_norm",
+            "n_chars_raw",
+            F.length("text_norm").alias("n_chars_norm"),
         )
 
     def compression_signal(spark, sf):

@@ -221,7 +221,7 @@ def lsh_ab_report(spark, n_docs: int) -> dict:
 
     def ab(prefix):
         timed(
-            lambda: minhash_near_duplicates(docs, threshold=0.5),
+            lambda: minhash_near_duplicates(docs, threshold=0.5, candidate_first=True),
             f"{prefix}same_shard_candidate_first_s",
         )
         timed(
@@ -229,7 +229,9 @@ def lsh_ab_report(spark, n_docs: int) -> dict:
             f"{prefix}same_shard_always_shingle_s",
         )
         timed(
-            lambda: incremental_near_duplicates(new, corpus, threshold=0.5),
+            lambda: incremental_near_duplicates(
+                new, corpus, threshold=0.5, candidate_first=True
+            ),
             f"{prefix}incremental_candidate_first_s",
         )
         timed(

@@ -9,7 +9,15 @@ Net-new operator (task brief's training-data-pipeline family; no
 counterpart in the reference — its fixture corpus is pre-cleaned).
 
 Scale shape (the part that must survive 100 TB):
-- lines are exploded ONCE with their position, and each doc contributes
+- the corpus is scanned TWICE by design — once to build the blocklist,
+  once to probe it — because the blocklist must be complete before any
+  line's fate is known, so a single-scan form would have to cache the
+  exploded (id, pos, line) table: at corpus scale that is a full copy
+  of the corpus text to executor disk, strictly worse than a second
+  columnar scan + re-split. What matters is what each pass SHUFFLES:
+  pass 1 reduces to (doc, line_hash) pairs — 16 bytes/row, map-side
+  combined — and never moves line strings; pass 2's anti-join probes
+  the (usually tiny, AQE-broadcastable) blocklist. Each doc contributes
   a line at most once to the frequency count (``count(DISTINCT doc)``
   shape, realized as a pre-``distinct`` + plain count — cheaper than a
   distinct-agg because the (line, doc) pair set is already the explode's

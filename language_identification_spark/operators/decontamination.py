@@ -7,11 +7,15 @@ reference counterpart).
 
 Scale shape: the EVAL side is small by definition (benchmarks are
 thousands of docs, the corpus is billions), so its distinct n-gram hash
-set is broadcast — the corpus side streams through one narrow
-explode→semi-match pass with NO shuffle of corpus n-grams; the only
-shuffle is the per-doc count re-aggregation keyed on doc id (map-side
-combined). N-grams travel as 64-bit ``xxhash64`` keys, never strings
-(2^-64 per-pair collision risk, the exact-dedup digest discipline).
+set is broadcast and the corpus side is read ONCE: explode → per-doc
+distinct → one broadcast left join marking eval hits → one groupBy(doc)
+computing total and contaminated counts together. Two shuffles total
+(the (id, gh) distinct and the per-doc re-aggregation, both map-side
+combined), and the expensive explode subtree has exactly one consumer —
+an earlier draft aggregated hits and totals as separate consumers of the
+same subtree, running the explode+distinct twice. N-grams travel as
+64-bit ``xxhash64`` keys, never strings (2^-64 per-pair collision risk,
+the exact-dedup digest discipline).
 
 Exactness: distinct counts are exact integers, one division at the end
 ⇒ FULL DuckDB gate (``ngram_contamination`` in ``__spark_entry__``).
@@ -56,23 +60,34 @@ def ngram_contamination(
     The caller picks the policy (drop above a threshold, or route to
     review); this operator only measures — same candidates-not-verdicts
     discipline as the LSH family."""
-    ev = evalset.select(
-        F.explode(word_ngrams(words(F.col(text_col)), n)).alias("g")
-    ).select(F.xxhash64("g").alias("gh")).distinct()
+    ev = (
+        evalset.select(
+            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
     dg = _doc_gram_hashes(corpus, n, id_col, text_col)
     # broadcast hint on the eval side: benchmarks are small by
     # definition, and without the hint a cold-stats corpus join would
-    # shuffle every corpus n-gram hash
-    hits = (
-        dg.join(F.broadcast(ev), "gh", "left_semi")
+    # shuffle every corpus n-gram hash. A LEFT join (not semi) marks
+    # hits so totals and contaminated counts come out of ONE aggregation
+    # over ONE pass of the explode subtree; ev.gh is distinct, so the
+    # join cannot fan rows out.
+    agg = (
+        dg.join(F.broadcast(ev), "gh", "left")
         .groupBy("id")
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
     )
-    totals = dg.groupBy("id").agg(F.count("*").alias("n_grams"))
     return (
         corpus.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(hits, "id", "left")
+        .join(agg, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),

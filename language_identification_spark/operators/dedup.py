@@ -523,7 +523,7 @@ def incremental_near_duplicates(
         index = minhash_band_index(corpus_df, id_col, text_col, n, n_hashes, bands, seed)
     new_sigs = minhash_signatures(new_df, id_col, text_col, n, n_hashes, seed)
     new_bands = _band_table(new_sigs, bands, n_hashes)
-    cand = _register_cache(
+    cand = (
         new_bands.join(
             index.select(F.col("id").alias("corpus_id"), "band", "bh"),
             ["band", "bh"],
@@ -533,12 +533,15 @@ def incremental_near_duplicates(
     )
     # candidate_first=True: semi-join both document sides on the
     # candidate id sets BEFORE computing shingle arrays — pays only when
-    # the candidate set cannot broadcast (measured 2.1× win there, 1.7×
-    # LOSS with broadcastable candidates; see minhash_near_duplicates).
-    # ``cand`` feeds multiple consumers either way, hence the persist
-    # above (released via scope/release_pair_cache).
+    # the candidate set cannot broadcast (see minhash_near_duplicates for
+    # the measured decision rule). Only that shape gives ``cand``
+    # multiple consumers (two semi-joins + the verify join), so only it
+    # persists (released via scope/release_pair_cache); the default path
+    # consumes ``cand`` exactly once and a persist would be pure
+    # cache-write overhead at corpus scale.
     shn_src, shc_src = new_df, corpus_df
     if candidate_first:
+        cand = _register_cache(cand)
         shn_src = new_df.join(
             cand.select("new_id"), F.col(id_col) == F.col("new_id"), "left_semi"
         )
@@ -642,18 +645,18 @@ def minhash_near_duplicates(
     huge-candidate-set escape hatch. Numbers: BENCH.md A/B section.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
-    cand = _register_cache(
-        minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
-    )
+    cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
     # candidate_first=True: semi-join the corpus on the candidate id set
     # BEFORE computing shingle arrays (the non-broadcastable-candidates
-    # escape hatch; see the docstring's measured decision rule). ``cand``
-    # feeds multiple consumers either way, hence the persist (released
-    # via scope/release_pair_cache).
+    # escape hatch; see the docstring's measured decision rule). Only
+    # that shape gives ``cand`` multiple consumers (the id-set union +
+    # the verify join), so only it persists (released via
+    # scope/release_pair_cache); the default path consumes ``cand`` once.
     # No .distinct() on the id set: left_semi deduplicates by construction,
     # and the extra shuffle measured ~+3s on the sf0.1 gate corpus.
     sh = df
     if candidate_first:
+        cand = _register_cache(cand)
         cand_ids = cand.select(F.col("id_a").alias("cid")).unionAll(
             cand.select(F.col("id_b").alias("cid"))
         )

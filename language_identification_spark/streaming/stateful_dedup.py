@@ -40,14 +40,20 @@ def _make_first_occurrence(ttl_ms: int | None):
             state.remove()
             return
         seen = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # Materialize the whole group's micro-batch before choosing the
+        # representative: Spark hands the group as an ITERATOR of Arrow
+        # chunks in no guaranteed order, so "first row of the first
+        # chunk" would vary across task retries / micro-batch replays.
+        # min(url) over the full group is replay-deterministic. Memory is
+        # bounded by one key's rows within one micro-batch.
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            allrows = pd.concat(batch, ignore_index=True) if len(batch) > 1 else batch[0]
             if seen == 0:
-                first = pdf.iloc[:1].copy()
+                first = allrows.sort_values("url", kind="mergesort").iloc[:1].copy()
                 first["n_prior"] = 0
                 yield first[["h", "url", "text", "n_prior"]]
-            seen += len(pdf)
+            seen += len(allrows)
         state.update((seen,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -62,7 +68,10 @@ def dedup_stream(
     ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: emits one row per distinct ``text_col`` seen
-    by the query (first occurrence wins, across micro-batches).
+    by the query (first micro-batch wins across batches; within the
+    winning micro-batch the min-``url_col`` row represents the group —
+    rows inside one batch have no order, so min is the deterministic
+    choice).
 
     ``ttl_ms=None`` dedups against everything ever seen (state grows with
     distinct hashes); a finite TTL evicts hashes idle that long, bounding
@@ -98,20 +107,25 @@ def _make_band_bucket(ttl_ms: int | None):
             state.remove()
             return
         canonical, seen = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # deterministic within a micro-batch: rows arrive unordered
-            pdf = pdf.sort_values("url", kind="mergesort")
+        # Concat ALL the group's Arrow chunks before electing a canonical:
+        # chunk arrival order is not guaranteed, so a per-chunk election
+        # (the pre-r5-review shape) made the canonical — and therefore the
+        # emitted rows — depend on shuffle arrival order, breaking the
+        # replay-idempotence the module pins elsewhere. min(url) over the
+        # whole micro-batch group is replay-deterministic; memory is one
+        # key's rows within one micro-batch.
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            allrows = pd.concat(batch, ignore_index=True) if len(batch) > 1 else batch[0]
             if canonical is None:
-                canonical = pdf.iloc[0]["url"]
-            hits = pdf[pdf["url"] != canonical]
+                canonical = allrows["url"].min()
+            hits = allrows[allrows["url"] != canonical]
             if len(hits):
                 out = hits[["bk", "url"]].copy()
                 out["canonical_url"] = canonical
                 out["n_prior"] = seen
                 yield out
-            seen += len(pdf)
+            seen += len(allrows)
         state.update((canonical, seen))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

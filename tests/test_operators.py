@@ -532,9 +532,10 @@ def test_ivf_no_partitionless_window(spark, emb):
 def test_spill_to_table_mode(spark, dup_docs, tmp_path):
     """r4: spill_dir switches the multi-consumer banded cache from
     executor-memory persist() to a Hive-bucketed on-disk table (the
-    corpus-scale mode). Pair output identical; the banded side holds NO
-    persistent blocks during the run (only the tiny candidate-pair
-    persist); release drops the catalog table."""
+    corpus-scale mode). Pair output identical; no persistent blocks are
+    live during the run (banded is on disk, and the default verify path
+    consumes candidates once without caching); release drops the catalog
+    table."""
     dedup.release_pair_cache(include_blocks=True)
     mem = dedup.minhash_near_duplicates(dup_docs, threshold=0.5)
     got_mem = sorted(map(tuple, mem.collect()))
@@ -556,9 +557,10 @@ def test_spill_to_table_mode(spark, dup_docs, tmp_path):
         ]
 
     assert len(spill_tables()) == 1
-    # banded table on disk, not in executor memory: the only live persist
-    # is the candidate-pair table
-    assert jsc.getPersistentRDDs().size() == baseline + 1
+    # banded table on disk, not in executor memory — and the default
+    # (single-consumer) verify path persists nothing else, so NO
+    # persistent blocks are live at all
+    assert jsc.getPersistentRDDs().size() == baseline
     dedup.release_pair_cache(include_blocks=True)
     assert jsc.getPersistentRDDs().size() == baseline
     assert spill_tables() == []
@@ -578,7 +580,12 @@ def test_candidate_first_ab_equivalence(spark, dup_docs):
     output-identical A/B pair, for both same-shard and incremental LSH."""
     with dedup.pair_cache_scope():
         a = sorted(
-            map(tuple, dedup.minhash_near_duplicates(dup_docs, threshold=0.5).collect())
+            map(
+                tuple,
+                dedup.minhash_near_duplicates(
+                    dup_docs, threshold=0.5, candidate_first=True
+                ).collect(),
+            )
         )
         b = sorted(
             map(
@@ -596,7 +603,9 @@ def test_candidate_first_ab_equivalence(spark, dup_docs):
         ia = sorted(
             map(
                 tuple,
-                dedup.incremental_near_duplicates(new, corpus, threshold=0.5).collect(),
+                dedup.incremental_near_duplicates(
+                    new, corpus, threshold=0.5, candidate_first=True
+                ).collect(),
             )
         )
         ib = sorted(
