@@ -479,6 +479,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("text_norm").alias("n_chars_norm"),
         )
 
+    def html_extract(spark, sf):
+        # r5 net-new: the WARC step — input_hint's `html BINARY` column
+        # to text (functions/html.py), native regexp chain end to end
+        # (zero Python). The documents table has no html column, so the
+        # markup is SYNTHESIZED deterministically from doc_id (same
+        # discipline as _synth_url): title with an entity, head+script+
+        # style elements to drop, structural tags, a comment, the five
+        # named entities, a <br/>. DuckDB twin built from the SAME
+        # pattern constants (functions.html.oracle_sql_exprs).
+        from language_identification_spark.functions.html import (
+            html_title,
+            html_to_text,
+        )
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        h = F.encode(
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                did.cast("string"),
+                F.lit(
+                    ' &amp; friends</title><meta charset="utf-8"></head>'
+                    "<body><h1>Doc heading</h1><p>"
+                ),
+                F.col("text"),
+                F.lit("</p>"),
+                F.when(
+                    did % 3 == 0,
+                    F.lit(
+                        '<script type="text/javascript">'
+                        'var x = "<p>not text</p>";</script>'
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 4 == 0, F.lit("<style>body { color: #fff }</style>")
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 2 == 0,
+                    F.lit(
+                        "<!-- tracker --><div>footer &lt;note&gt;&nbsp;"
+                        "&#39;q&#39;</div>"
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(did % 5 == 0, F.lit("line one<br/>line two")).otherwise(
+                    F.lit("")
+                ),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        )
+        return d.select(
+            "doc_id",
+            html_to_text(h).alias("text_extracted"),
+            html_title(h).alias("title"),
+        ).withColumn("n_chars_extracted", F.length("text_extracted"))
+
+    def heavy_hitters_topk(spark, sf):
+        # r5 net-new: certified heavy hitters (operators/sketches.py) —
+        # per-partition partial top-m + exactness certificate + exact
+        # rescore of candidates only. The certificate makes the output
+        # EQUAL to the exact top-k, so the oracle is the plain SQL
+        # top-k: a FULL gate for a sketch-shaped operator, legitimately.
+        from language_identification_spark.functions.text import words
+        from language_identification_spark.operators.sketches import (
+            certified_top_terms,
+        )
+
+        d = _t(spark, sf, "documents")
+        return certified_top_terms(
+            d, words(F.col("text")), k=40, capacity=8192
+        ).select(F.col("t").alias("term"), F.col("cnt").alias("n"))
+
     def compression_signal(spark, sf):
         # r5 net-new: Dolma/RedPajama zlib compressibility signal
         # (functions/normalize.py). No SQL engine exposes zlib -> no
@@ -1313,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_approx": events_distinct_approx,
         "ngram_contamination": ngram_contamination,
         "unicode_normalize": unicode_normalize,
+        "html_extract": html_extract,
+        "heavy_hitters_topk": heavy_hitters_topk,
         "compression_signal": compression_signal,
         "stratified_sample": stratified_sample,
         "span_dedup": span_dedup,
@@ -1409,6 +1483,11 @@ def _duck_ngrams(inner: str, text_expr: str, n: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from language_identification_spark.functions.html import (
+        oracle_sql_exprs as _html_exprs,
+    )
+
+    _html_text, _html_title = _html_exprs("hb")
     corrupt_pred = "CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END"
     report_base = f"""
       WITH pred AS (SELECT lang, {corrupt_pred} AS lang_pred FROM documents),
@@ -2156,6 +2235,32 @@ def oracle_sql() -> dict[str, str]:
           FROM corpus c
           LEFT JOIN tot t USING (doc_id)
           LEFT JOIN hit h USING (doc_id)
+        """,
+        "heavy_hitters_topk": """
+          WITH w AS (
+            SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS term
+            FROM documents WHERE length(text) > 0
+          )
+          SELECT term, count(*) AS n FROM w
+          GROUP BY term ORDER BY n DESC, term ASC LIMIT 40
+        """,
+        "html_extract": f"""
+          WITH h AS (
+            SELECT doc_id, encode(
+              '<html><head><title>Doc ' || doc_id::VARCHAR ||
+              ' &amp; friends</title><meta charset="utf-8"></head>' ||
+              '<body><h1>Doc heading</h1><p>' || text || '</p>' ||
+              (CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var x = "<p>not text</p>";</script>' ELSE '' END) ||
+              (CASE WHEN doc_id % 4 = 0 THEN '<style>body {{ color: #fff }}</style>' ELSE '' END) ||
+              (CASE WHEN doc_id % 2 = 0 THEN '<!-- tracker --><div>footer &lt;note&gt;&nbsp;&#39;q&#39;</div>' ELSE '' END) ||
+              (CASE WHEN doc_id % 5 = 0 THEN 'line one<br/>line two' ELSE '' END) ||
+              '</body></html>') AS hb
+            FROM documents
+          )
+          SELECT doc_id, text_extracted, title,
+                 length(text_extracted) AS n_chars_extracted
+          FROM (SELECT doc_id, {_html_text} AS text_extracted,
+                       {_html_title} AS title FROM h)
         """,
         "unicode_normalize": """
           WITH raw AS (

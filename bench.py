@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "host_stats",
     "ngram_contamination",
     "unicode_normalize",
+    "html_extract",
+    "heavy_hitters_topk",
     "compression_signal",
     "stratified_sample",
     "span_dedup",

@@ -124,7 +124,9 @@ def make_char_freq_predict_udf(spark: SparkSession, language_profiles: dict, smo
             m = CharFrequency(smoothing=sm)
             m.language_profiles = profiles
             state["m"] = m
-        return pd.Series(state["m"].predict(texts.tolist()))
+        # P6 str coercion at the serving boundary: NULL text scores as ""
+        # (the reference never sees nulls; its math stays untouched).
+        return pd.Series(state["m"].predict(texts.fillna("").tolist()))
 
     return predict
 
@@ -141,7 +143,7 @@ def make_cavnar_trenkle_predict_udf(spark: SparkSession, profiles: dict, max_pro
             m = CavnarTrenkle(max_profile_size=max_profile_size)
             m.language_profiles = bc.value
             state["m"] = m
-        return pd.Series(state["m"].predict(texts.tolist()))
+        return pd.Series(state["m"].predict(texts.fillna("").tolist()))
 
     return predict
 
@@ -162,7 +164,7 @@ def make_dunning_predict_udf(spark: SparkSession, language_models: dict, smoothi
         return pd.Series(m_predict(state["m"], texts))
 
     def m_predict(m, texts):
-        return m.predict(texts.tolist())
+        return m.predict(texts.fillna("").tolist())
 
     return predict
 

@@ -347,3 +347,123 @@ def test_url_normalize_idempotent(spark):
         .collect()
     )
     assert not bad, bad[:5]
+
+
+def test_html_extract_cases(spark):
+    """r5 html family (functions/html.py): pinned extraction spec —
+    head/script/style subtrees drop, structural closes become newlines,
+    the five named entities + &amp;-last decode, explicit-class edge
+    strip; title reads the raw bytes. Null/empty/tagless inputs covered."""
+    from language_identification_spark.functions.html import (
+        html_title,
+        html_to_text,
+    )
+
+    rows = [
+        (
+            '<html><head><title> T &amp; t </title>'
+            '<script>var a="<b>";</script></head>'
+            "<BODY><p>one</p><div>two</div>tail<BR/>after"
+            "<style>p { x }</style>&lt;lit&gt;&nbsp;&#39;q&#39;</BODY></html>",
+        ),
+        ("<html><body>plain</body></html>",),
+        ("no tags",),
+        ("  \n padded \t ",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "s string").select(
+        F.encode("s", "UTF-8").alias("h")
+    )
+    got = [
+        (r["t"], r["ti"])
+        for r in df.select(
+            html_to_text(F.col("h")).alias("t"), html_title(F.col("h")).alias("ti")
+        ).collect()
+    ]
+    assert got == [
+        ("one\ntwo\ntail\nafter<lit> 'q'", "T & t"),
+        ("plain", ""),
+        ("no tags", ""),
+        ("padded", ""),
+        ("", ""),
+        (None, None),
+    ]
+
+
+def test_html_roundtrip_fixture(spark, pages_df):
+    """The north rule's per-row invariant — byte-identical extracted text
+    per url: html_to_text over the fixture's html BINARY column must
+    reproduce the text column exactly (modulo the spec's edge-whitespace
+    strip) for every page."""
+    import re
+
+    from language_identification_spark.functions.html import html_to_text
+
+    got = pages_df.select(
+        "text", html_to_text(F.col("html")).alias("x")
+    ).collect()
+    assert len(got) > 0
+    edge = re.compile(r"^[ \t\r\n]+|[ \t\r\n]+$")
+    for r in got:
+        assert r["x"] == edge.sub("", r["text"])
+
+
+def test_certified_top_terms_truncation_and_certificate(spark):
+    """r5 heavy hitters: with a capacity small enough to force partial
+    truncation, the certificate still proves exactness and the output
+    equals the true top-k (20 heavy terms ~500 each vs a 500-term
+    singleton tail; per-partition thresholds are all 1, so E = #partitions
+    << the k-th count)."""
+    from language_identification_spark.operators.sketches import (
+        certified_top_terms,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.extend([(f"h{i:02d}",)] * (500 - i))
+    rows.extend([(f"tail{j:03d}",) for j in range(500)])
+    df = spark.createDataFrame(rows, "w string").repartition(8)
+    got = certified_top_terms(df, F.array("w"), k=10, capacity=20).collect()
+    assert [(r["t"], r["cnt"]) for r in got] == [
+        (f"h{i:02d}", 500 - i) for i in range(10)
+    ]
+
+
+def test_certified_top_terms_raises_when_uncertifiable(spark):
+    """A flat corpus (every term count 1) with a tiny capacity cannot
+    certify a top-k: silently returning a maybe-wrong ranking is the one
+    forbidden outcome, so the operator must raise."""
+    from language_identification_spark.operators.sketches import (
+        certified_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{j:03d}",) for j in range(200)], "w string"
+    ).repartition(4)
+    with pytest.raises(RuntimeError, match="raise capacity"):
+        certified_top_terms(df, F.array("w"), k=5, capacity=2)
+
+
+def test_certified_top_terms_matches_exact_on_fixture(spark, sf_dir):
+    """The sketch path's output equals the plain exact top-k on real
+    fixture words (the same equality the FULL heavy_hitters_topk gate
+    checks through DuckDB)."""
+    from language_identification_spark.functions.text import words
+    from language_identification_spark.operators.sketches import (
+        certified_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(F.explode(words(F.col("text"))).alias("t"))
+    exact = (
+        terms.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(15)
+        .collect()
+    )
+    got = certified_top_terms(docs, words(F.col("text")), k=15, capacity=64)
+    assert [(r["t"], r["cnt"]) for r in got.collect()] == [
+        (r["t"], r["cnt"]) for r in exact
+    ]
