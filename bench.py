@@ -469,14 +469,16 @@ would shuffle every document's shingle array into the verify join. The
 r5 measurement in the realistic regime (candidates ≪ corpus —
 {ab['same_shard_pairs']:,} verified same-shard pairs /
 {ab['incremental_pairs']:,} incremental pairs out of {ab['n_docs']:,}
-docs) shows the premise does not hold while candidates are
-broadcastable: Spark/AQE broadcasts the tiny candidate side, the verify
-is a narrow scan of the corpus with NO shuffle of shingle arrays, and
-candidate-first's materialization barrier + semi-join stages buy at
-best parity (run-to-run the broadcast-regime ratios range ~0.9-1.8× on
-this contended host; always-shingle never loses materially, and wins
-clearly in the same-shard shape). Speedup below = candidate-first wall
-÷ always-shingle wall (>1 ⇒ always-shingle faster):
+docs) shows the split is by JOB SHAPE, not broadcastability. Same-shard
+self-join: the corpus is fully scanned for signatures anyway, shingles
+ride that same narrow pass, and the tiny candidate side broadcasts (or
+shuffles 8-byte ids) — always-shingle wins in BOTH broadcast regimes;
+candidate-first's materialization barrier + two semi-join stages never
+repay skipping cheap JVM shingle work. Incremental new×corpus: the
+corpus side has no other reason to be shingled, so the candidate-id
+semi-join removes O(corpus) shingle work and candidate-first wins in
+BOTH regimes. Speedup below = candidate-first wall ÷ always-shingle
+wall (>1 ⇒ always-shingle faster):
 
 | regime | job | candidate-first (s) | always-shingle (s) | always-shingle is N× faster |
 |---|---|---|---|---|
@@ -485,12 +487,14 @@ clearly in the same-shard shape). Speedup below = candidate-first wall
 | broadcast disabled (huge-candidate-set stand-in) | same-shard near-dup | {ab['nobroadcast_same_shard_candidate_first_s']} | {ab['nobroadcast_same_shard_always_shingle_s']} | {ab['nobroadcast_same_shard_speedup_always_over_candfirst']}× |
 | broadcast disabled (huge-candidate-set stand-in) | incremental (new × corpus) | {ab['nobroadcast_incremental_candidate_first_s']} | {ab['nobroadcast_incremental_always_shingle_s']} | {ab['nobroadcast_incremental_speedup_always_over_candfirst']}× |
 
-So the measured decision rule (now the operator default + escape hatch):
-**always-shingle while the candidate-id set broadcasts; candidate-first
-once it cannot** — with broadcast disabled the verify join must shuffle
-both sides and the semi-join prefilter's shuffle-byte savings pay off
-(ratios < 1 above), which is exactly the r4 argument, valid only in
-that regime.
+So the measured decision rule (now the per-operator defaults):
+**always-shingle for the same-shard self-join
+(`minhash_near_duplicates`); candidate-first for the incremental
+new×corpus job (`incremental_near_duplicates`)** — the incremental win
+grows with corpus size since the avoided shingle pass is O(corpus),
+while the new shard and its candidate-id set stay small. The other
+flag value remains an explicit escape hatch on both operators, output
+pinned identical.
 
 Input: deterministic synthetic corpus (`bench.synth_lsh_corpus`) of
 ~unique hash-generated 40-word docs with every 100th doc a one-word-off

@@ -500,16 +500,21 @@ def incremental_near_duplicates(
     n_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    candidate_first: bool = False,
+    candidate_first: bool = True,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard ≥ threshold): incoming documents that
     near-duplicate something ALREADY IN the corpus.
-    ``candidate_first`` picks the verify shape — same measured decision
-    rule as :func:`minhash_near_duplicates`: keep the default while the
-    candidate set broadcasts (measured 1.7× faster); switch to True when
-    candidates exceed the broadcast threshold, where the corpus-side
-    shingle shuffle dominates (measured 2.1× faster there). Identical
-    output either way.
+    ``candidate_first`` picks the verify shape. Default True — the
+    OPPOSITE of :func:`minhash_near_duplicates`, per the fixed-harness
+    r5 A/B at 1.28M docs / ~1% planted dups (BENCH.md): here the corpus
+    side is unbounded and only the ~1% of corpus docs that collide with
+    the new shard ever need verify shingles, so semi-joining the corpus
+    on the (tiny, broadcastable) candidate-id set before shingling
+    skips shingle work over ~99% of the corpus — measured 1.10× faster
+    with broadcast joins on and 1.17× with them off, i.e. it wins in
+    BOTH broadcast regimes, and the margin grows with corpus size since
+    the avoided work is O(corpus). Identical output either way
+    (test_candidate_first_ab_equivalence).
 
     Differences vs :func:`minhash_near_duplicates` (same-shard dedup):
     only new×corpus pairs are considered (new×new belongs to the shard's
@@ -599,19 +604,22 @@ def minhash_near_duplicates(
     BENCH.md's A/B section (``bench.py --lsh-ab``):
 
     - ``False`` (default, "always-shingle"): every doc's shingle array is
-      computed in the same narrow pass and joined against the candidate
-      pairs. When candidates ≪ corpus — the realistic web regime —
-      Spark/AQE BROADCASTS the candidate side, so the verify is a
-      narrow scan: no corpus shuffle ever happens. Measured 1.7–2.4×
-      faster than candidate-first at 160k–1.28M docs with ~1% dups.
+      computed in the same narrow pass that the self-join signature
+      stage already scans, and joined against the candidate pairs; when
+      candidates ≪ corpus Spark/AQE broadcasts the candidate side, so
+      the verify never shuffles the corpus. Measured FASTER than
+      candidate-first for this same-shard self-join in BOTH broadcast
+      regimes at 1.28M docs / ~1% dups: 1.41× with broadcast joins on,
+      1.16× with them disabled — shingling is cheap JVM map work, so
+      skipping it for non-candidates never repays candidate-first's
+      materialization barrier + two extra semi-join stages here.
     - ``True`` ("candidate-first"): semi-join the corpus down to
-      candidate ids before shingling. Pays extra stages and a
-      materialization barrier; only wins when the candidate-id set is
-      too large to broadcast (≳ the broadcast threshold, i.e. many
-      millions of candidates) so the verify join must shuffle — there
-      the semi-join cuts the shuffle from O(corpus·shingle-bytes) to
-      O(corpus·8B); measured 2.1× faster in that regime (broadcast
-      disabled, incremental shape). Output identical either way
+      candidate ids before shingling. The measured win for this shape is
+      the INCREMENTAL job (:func:`incremental_near_duplicates`, where it
+      is the default): there the corpus side does not otherwise need
+      verify shingles at all, so the semi-join removes O(corpus) work
+      (measured 1.10–1.17× at 1.28M docs, both broadcast regimes).
+      Output identical either way
       (test_candidate_first_ab_equivalence).
 
     ``spill_dir`` switches the banded-signature cache from executor-memory
@@ -634,15 +642,16 @@ def minhash_near_duplicates(
 
     History of the default: r4 argued the candidate-first semi-join was
     the scale shape ("always-shingle shuffles the corpus to verify a
-    near-empty pair set"). The r5 A/B at 160k–1.28M docs / ~1% planted
-    dups MEASURED the opposite in the realistic regime — the small
-    candidate set broadcasts, the verify join never shuffles the corpus,
-    and the semi-join's extra stages cost 1.7–2.4×. The claimed
-    inversion is real only once candidates exceed the broadcast
-    threshold (reproduced by disabling broadcast joins: candidate-first
-    wins 2.1× in the incremental shape). Hence the measured default:
-    always-shingle, with ``candidate_first=True`` as the explicit
-    huge-candidate-set escape hatch. Numbers: BENCH.md A/B section.
+    near-empty pair set"). The fixed-harness r5 A/B at 1.28M docs / ~1%
+    planted dups MEASURED the split to be by JOB SHAPE, not by
+    broadcastability: in this same-shard self-join the corpus is fully
+    scanned for signatures regardless, shingles ride that same narrow
+    pass, and the tiny candidate side broadcasts (or, with broadcast
+    disabled, shuffles 8-byte ids) — always-shingle wins 1.41×/1.16×
+    in the two regimes. The r4 argument survives only where the corpus
+    side has no other reason to be shingled — the incremental new×corpus
+    job, where candidate-first wins 1.10–1.17× and is the default.
+    Numbers: BENCH.md A/B section (``bench.py --lsh-ab``).
     """
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
     cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)

@@ -186,6 +186,21 @@ def test_lsh_verify_candidate_first_plan(spark, sf_dir):
     dedup.release_pair_cache()
 
 
+def test_incremental_default_is_candidate_first(spark, sf_dir):
+    """The fixed-harness r5 A/B made candidate-first the INCREMENTAL
+    default (it wins in both broadcast regimes there, and the avoided
+    corpus-side shingle pass is O(corpus)); pin that the no-flag call
+    semi-joins before re-shingling."""
+    from language_identification_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    inc = dedup.incremental_near_duplicates(new, corpus, threshold=0.5)
+    _assert_verify_shingles_semi_joined(inc, ("new_id", "corpus_id"))
+    dedup.release_pair_cache()
+
+
 def test_lsh_verify_default_broadcasts_candidates(spark, sf_dir):
     """The r5 measured default (always-shingle): with a small candidate
     set the verify join BROADCASTS the candidate side, so the corpus's
