@@ -551,6 +551,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, words(F.col("text")), k=40, capacity=8192
         ).select(F.col("t").alias("term"), F.col("cnt").alias("n"))
 
+    def pii_scrub(spark, sf):
+        # r5 net-new: the native (JVM codegen) twin of the pandas-UDF
+        # scrubber (functions/scrub.py) — same SCRUB_RULES constants,
+        # Java∩RE2 dialect, so this gate is a FULL byte-identical DuckDB
+        # check of the 100 TB fast path. PII is PLANTED deterministically
+        # from doc_id (the fixture discipline): email/phone/IP/slur modes
+        # incl. a case-insensitivity probe ("GROBNAK").
+        from language_identification_spark.functions.scrub import (
+            pii_hits_native,
+            scrub_native,
+        )
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        raw = F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit(" call +1-555-0123 now")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 5 == 0, F.lit(" from 192.168.1.42 today")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 7 == 0, F.lit(" says GROBNAK loudly")).otherwise(
+                F.lit("")
+            ),
+        )
+        return d.select(
+            "doc_id",
+            scrub_native(raw).alias("scrubbed"),
+            pii_hits_native(raw).cast("long").alias("n_pii"),
+        )
+
+    def quality_percentile_filter(spark, sf):
+        # r5 net-new: per-lang bottom-25% cut by q_score WITHOUT a
+        # corpus-wide sort (operators/filtering.percentile_filter): one
+        # per-group percentile agg -> broadcast threshold join -> filter.
+        # exact=True here so DuckDB's quantile_cont is a bit-identical
+        # twin (the serving default is approx_percentile, same plan
+        # shape, gate-checked rows/schema via the events_quantiles_approx
+        # family instead).
+        from language_identification_spark.functions.analysis import (
+            quality_score,
+        )
+        from language_identification_spark.operators.filtering import (
+            percentile_filter,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "lang", quality_score(F.col("text")).alias("q_score")
+        )
+        return percentile_filter(
+            d, "q_score", frac=0.25, group_col="lang", exact=True
+        )
+
+    def drop_reasons(spark, sf):
+        # r5 net-new: per-doc keep/drop REASON CODES (pipeline/rules.py
+        # drop_reason_expr — first failing rule in contract order, NULL =
+        # kept), the RefinedWeb/Dolma-style removal-rate observability.
+        # The gate synthesizes the feature columns from doc_id via the
+        # shared _reason_gate_plan (row i%|rules|+1 fails exactly rule i)
+        # so the CASE chain itself — thresholds, ordering, first-fail —
+        # is what's checked cross-engine; the feature computations carry
+        # their own gates (quality/gopher/repetition).
+        from language_identification_spark.pipeline.rules import (
+            drop_reason_expr,
+        )
+
+        cols, n_rules = _reason_gate_plan()
+        d = _t(spark, sf, "documents").select("doc_id")
+        mode = F.col("doc_id") % (n_rules + 1)
+        feat_cols = []
+        for col, c in cols.items():
+            expr = F.lit(c["pass"])
+            for i, fail in c["fails"]:
+                expr = F.when(mode == i, F.lit(fail)).otherwise(expr)
+            feat_cols.append(
+                expr.cast("long" if c["is_int"] else "double").alias(col)
+            )
+        feats = d.select("doc_id", *feat_cols)
+        reason = drop_reason_expr()
+        return feats.select(
+            "doc_id",
+            reason.alias("drop_reason"),
+            reason.isNull().alias("kept"),
+        )
+
     def compression_signal(spark, sf):
         # r5 net-new: Dolma/RedPajama zlib compressibility signal
         # (functions/normalize.py). No SQL engine exposes zlib -> no
@@ -774,6 +868,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
             .select("canonical_id", "n_dups")
         )
+
+    def dedup_exact_incremental(spark, sf):
+        # r5 net-new: the exact-dedup leg of the daily-crawl shape
+        # (operators/dedup.exact_incremental_dedup) — anti-join of the
+        # new shard on the corpus digest set. Duplicates are PLANTED:
+        # every doc_id % 20 == 0 "new" doc borrows the text of its
+        # corpus neighbor (doc_id + 1), so those rows must vanish.
+        d = _t(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        donor = corpus.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").alias("donor_text"),
+        )
+        new = (
+            d.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .join(donor, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") % 20 == 0)
+                    & F.col("donor_text").isNotNull(),
+                    F.col("donor_text"),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        return dedup.exact_incremental_dedup(new, corpus)
 
     def dedup_jaccard(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
@@ -1387,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": unicode_normalize,
         "html_extract": html_extract,
         "heavy_hitters_topk": heavy_hitters_topk,
+        "pii_scrub": pii_scrub,
+        "quality_percentile_filter": quality_percentile_filter,
+        "drop_reasons": drop_reasons,
         "compression_signal": compression_signal,
         "stratified_sample": stratified_sample,
         "span_dedup": span_dedup,
@@ -1395,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": interval_join,
         "curation_pipeline": curation_pipeline,
         "dedup_exact": dedup_exact,
+        "dedup_exact_incremental": dedup_exact_incremental,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -1422,6 +1549,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # FNV-1a fold over codepoint expressions, mod-2^64 arithmetic in HUGEINT
 # (xor needs UBIGINT; the multiply needs HUGEINT headroom: 2^64·2^41 ≪ 2^127).
 # Mirrors operators/dedup.simhash_64's vectorized fold bit-for-bit.
+def _reason_gate_plan():
+    """Shared synthesis plan for the ``drop_reasons`` gate: per feature
+    column, a PASS literal satisfying every rule on that column plus one
+    FAIL literal per rule (keyed by the rule's index in RULE_SPECS).
+    Row ``doc_id % (len(RULE_SPECS)+1) == i`` fails exactly rule i; the
+    leftover residue passes everything. All literals are computed HERE in
+    Python and emitted verbatim to both engines — no engine arithmetic,
+    so the two sides cannot round differently."""
+    from language_identification_spark.pipeline.rules import RULE_SPECS
+
+    int_cols = {"n_chars", "n_words"}
+    cols: dict[str, dict] = {}
+    for i, (reason, col, op, t) in enumerate(RULE_SPECS):
+        c = cols.setdefault(col, {"fails": [], "lows": [], "highs": []})
+        (c["lows"] if op == "<" else c["highs"]).append(t)
+        fail = (t - 1 if col in int_cols else t / 2) if op == "<" else (
+            t + 1 if col in int_cols else t * 2
+        )
+        c["fails"].append((i, fail))
+    for col, c in cols.items():
+        lo = max(c["lows"]) if c["lows"] else 0.0
+        hi = min(c["highs"]) if c["highs"] else lo * 2 + 10
+        pv = (lo + hi) / 2
+        c["pass"] = int(pv) if col in int_cols else pv
+        c["is_int"] = col in int_cols
+    return cols, len(RULE_SPECS)
+
+
+# DuckDB twin of functions/analysis.quality_score — shared by the
+# quality_scores and quality_percentile_filter oracles.
+_Q_SCORE_SQL = """round(greatest(least(
+              (len(regexp_extract_all(text, '[A-Za-zÀ-ÿА-яΑ-ω\\x{4e00}-\\x{9fff}]'))::DOUBLE
+                 / greatest(len(text), 1)) * 0.6
+              + least((len(regexp_extract_all(text, '[ ]'))::DOUBLE / greatest(len(text), 1)) * 4, 1.0) * 0.3
+              + (1 - least((len(regexp_extract_all(text, '[#!$%&*+=@^~|<>]'))::DOUBLE / greatest(len(text), 1)) * 10, 1.0)) * 0.1
+            , 1.0), 0.0), 6)"""
+
+
 def _duck_fnv(*cp_exprs: str) -> str:
     h = "14695981039346656037::HUGEINT"  # FNV_OFFSET
     for c in cp_exprs:
@@ -1488,6 +1653,39 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _html_text, _html_title = _html_exprs("hb")
+    from language_identification_spark.functions.scrub import (
+        oracle_sql_exprs as _scrub_exprs,
+    )
+
+    _scrubbed, _n_pii = _scrub_exprs("raw")
+    from language_identification_spark.pipeline.rules import (
+        drop_reason_sql as _drop_reason_sql,
+    )
+
+    _reason_cols, _n_rules = _reason_gate_plan()
+    _reason_feats = ",\n              ".join(
+        "CASE doc_id % {m} {whens} ELSE {pv} END{cast} AS {col}".format(
+            m=_n_rules + 1,
+            whens=" ".join(
+                f"WHEN {i} THEN {fail!r}" for i, fail in c["fails"]
+            ),
+            pv=repr(c["pass"]),
+            cast="::BIGINT" if c["is_int"] else "::DOUBLE",
+            col=col,
+        )
+        for col, c in _reason_cols.items()
+    )
+    _drop_reasons_oracle = f"""
+          WITH feats AS (
+            SELECT doc_id,
+              {_reason_feats}
+            FROM documents
+          )
+          SELECT doc_id,
+                 {_drop_reason_sql()} AS drop_reason,
+                 ({_drop_reason_sql()}) IS NULL AS kept
+          FROM feats
+        """
     corrupt_pred = "CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END"
     report_base = f"""
       WITH pred AS (SELECT lang, {corrupt_pred} AS lang_pred FROM documents),
@@ -1739,14 +1937,9 @@ def oracle_sql() -> dict[str, str]:
                  ) AS fingerprint
           FROM documents
         """,
-        "quality_scores": """
-          SELECT doc_id,
-            round(greatest(least(
-              (len(regexp_extract_all(text, '[A-Za-zÀ-ÿА-яΑ-ω\\x{4e00}-\\x{9fff}]'))::DOUBLE
-                 / greatest(len(text), 1)) * 0.6
-              + least((len(regexp_extract_all(text, '[ ]'))::DOUBLE / greatest(len(text), 1)) * 4, 1.0) * 0.3
-              + (1 - least((len(regexp_extract_all(text, '[#!$%&*+=@^~|<>]'))::DOUBLE / greatest(len(text), 1)) * 10, 1.0)) * 0.1
-            , 1.0), 0.0), 6) AS q_score,
+        "quality_scores": "SELECT doc_id, "
+        + _Q_SCORE_SQL
+        + """ AS q_score,
             CASE
               WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 100 / greatest(len(text), 1) > 10 THEN 'cjk'
               WHEN len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) * 100 / greatest(len(text), 1) > 30 THEN 'cyrillic'
@@ -2262,6 +2455,37 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, {_html_text} AS text_extracted,
                        {_html_title} AS title FROM h)
         """,
+        "pii_scrub": f"""
+          WITH r AS (
+            SELECT doc_id,
+              text ||
+              (CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                    ELSE '' END) ||
+              (CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-0123 now' ELSE '' END) ||
+              (CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.1.42 today' ELSE '' END) ||
+              (CASE WHEN doc_id % 7 = 0 THEN ' says GROBNAK loudly' ELSE '' END)
+              AS raw
+            FROM documents
+          )
+          SELECT doc_id, {_scrubbed} AS scrubbed,
+                 ({_n_pii})::BIGINT AS n_pii
+          FROM r
+        """,
+        "drop_reasons": _drop_reasons_oracle,
+        "quality_percentile_filter": (
+            "WITH s AS (SELECT doc_id, lang, "
+            + _Q_SCORE_SQL
+            + """ AS q_score FROM documents),
+          t AS (
+            SELECT lang, round(quantile_cont(q_score, 0.25), 6) AS thr
+            FROM s GROUP BY lang
+          )
+          SELECT s.doc_id, s.lang, s.q_score
+          FROM s JOIN t USING (lang)
+          WHERE round(s.q_score, 6) >= t.thr
+        """
+        ),
         "unicode_normalize": """
           WITH raw AS (
             SELECT doc_id,
@@ -2456,6 +2680,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
           FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_exact_incremental": """
+          WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+          nw AS (
+            SELECT b.doc_id,
+                   CASE WHEN b.doc_id % 20 = 0 AND d.text IS NOT NULL
+                        THEN d.text ELSE b.text END AS text
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) b
+            LEFT JOIN corpus d ON d.doc_id = b.doc_id + 1
+          )
+          SELECT n.doc_id, n.text FROM nw n
+          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
         """,
         "dedup_jaccard": jacc_base
         + """

@@ -169,6 +169,40 @@ def exact_duplicate_groups(
     )
 
 
+def exact_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    corpus_digests: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """New documents whose text is NOT byte-identical to anything already
+    in the corpus — the exact-dedup leg of the daily-crawl shape
+    (:func:`incremental_near_duplicates` is the near-dup leg; within-shard
+    exact dups are :func:`exact_duplicate_groups`' job, not this one's).
+
+    Anti-join on sha256 digests: the shuffle carries 32-byte digests and
+    ids, never document text, and left_anti deduplicates the corpus side
+    by construction so no ``distinct()`` shuffle is spent on it. At
+    corpus scale pass ``corpus_digests`` — a persisted one-column
+    ``digest`` table maintained incrementally as shards land (the exact
+    analogue of reusing :func:`minhash_band_index` for the near-dup leg)
+    — so the corpus text is never rescanned per incoming shard.
+    """
+    if corpus_digests is None:
+        if corpus_df is None:
+            raise ValueError("pass corpus_df or corpus_digests")
+        corpus_digests = corpus_df.select(
+            F.sha2(F.col(text_col), 256).alias("digest")
+        )
+    new_h = new_df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+    return new_h.join(
+        corpus_digests.select(F.col("digest").alias("_digest")),
+        "_digest",
+        "left_anti",
+    ).drop("_digest")
+
+
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return (
         df.select(

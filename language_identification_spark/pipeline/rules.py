@@ -95,6 +95,73 @@ def _rep_expr() -> Column:
     return cond
 
 
+"""Per-rule reason codes — the observability face of the keep decision.
+
+RefinedWeb/Dolma-style pipelines report PER-RULE removal rates and store
+the first failing rule with each dropped doc (debugging a corpus cut of
+unknown provenance is the 100 TB failure mode this exists for). The
+table below lists every keep rule in ``keep_expr``'s contract order with
+its failing comparison; :func:`drop_reason_expr` compiles it to ONE
+native CASE chain (first failing rule wins, NULL = kept) and
+:func:`drop_reason_sql` emits the DuckDB twin from the SAME rows, so the
+two engines cannot drift. Equivalence with ``keep_expr`` (kept ⇔ reason
+IS NULL) is pinned by test_misc_ops::test_drop_reason_matches_keep."""
+
+RULE_SPECS: list[tuple[str, str, str, float]] = (
+    [
+        ("too_few_chars", "n_chars", "<", MIN_CHARS),
+        ("too_many_chars", "n_chars", ">", MAX_CHARS),
+        ("too_few_words", "n_words", "<", MIN_WORDS),
+        ("mean_word_len_low", "mean_word_len", "<", MIN_MEAN_WORD_LEN),
+        ("mean_word_len_high", "mean_word_len", ">", MAX_MEAN_WORD_LEN),
+        ("symbol_ratio_high", "symbol_ratio", ">", MAX_SYMBOL_RATIO),
+        ("distinct_word_ratio_low", "distinct_word_ratio", "<", MIN_DISTINCT_WORD_RATIO),
+        ("stopword_ratio_low", "stopword_ratio", "<", MIN_STOPWORD_RATIO),
+        ("bullet_line_ratio_high", "bullet_line_ratio", ">", MAX_BULLET_LINE_RATIO),
+        ("ellipsis_line_ratio_high", "ellipsis_line_ratio", ">", MAX_ELLIPSIS_LINE_RATIO),
+        ("dup_line_ratio_high", "dup_line_ratio", ">", MAX_DUP_LINE_RATIO),
+    ]
+    + [
+        (f"top_{n}gram_char_frac_high", f"top_{n}gram_char_frac", ">", t)
+        for n, t in MAX_TOP_NGRAM_CHAR_FRAC.items()
+    ]
+    + [
+        (f"dup_{n}gram_char_frac_high", f"dup_{n}gram_char_frac", ">", t)
+        for n, t in MAX_DUP_NGRAM_CHAR_FRAC.items()
+    ]
+    + [
+        ("lang_conf_low", "lang_conf", "<", MIN_LANG_CONF),
+        ("perplexity_high", "perplexity", ">", MAX_PERPLEXITY),
+    ]
+)
+
+
+def _specs(include_model_rules: bool) -> list[tuple[str, str, str, float]]:
+    if include_model_rules:
+        return RULE_SPECS
+    return [r for r in RULE_SPECS if r[1] not in ("lang_conf", "perplexity")]
+
+
+def drop_reason_expr(include_model_rules: bool = True) -> Column:
+    """First failing rule's name (contract order), NULL when kept.
+    ``include_model_rules=False`` restricts to the heuristic columns
+    (the shape usable before langid/perplexity have run)."""
+    expr = None
+    for reason, col, op, t in _specs(include_model_rules):
+        cond = (F.col(col) < F.lit(t)) if op == "<" else (F.col(col) > F.lit(t))
+        expr = F.when(cond, F.lit(reason)) if expr is None else expr.when(cond, F.lit(reason))
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def drop_reason_sql(include_model_rules: bool = True) -> str:
+    """DuckDB twin of :func:`drop_reason_expr`, generated from RULE_SPECS."""
+    whens = "\n".join(
+        f"WHEN {col} {op} {t} THEN '{reason}'"
+        for reason, col, op, t in _specs(include_model_rules)
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
 def py_keep(feats: dict, lang_conf: float, perplexity: float) -> bool:
     """Oracle-side twin of :func:`keep_expr`."""
     return (

@@ -467,3 +467,183 @@ def test_certified_top_terms_matches_exact_on_fixture(spark, sf_dir):
     assert [(r["t"], r["cnt"]) for r in got.collect()] == [
         (r["t"], r["cnt"]) for r in exact
     ]
+
+
+def test_scrub_native_matches_python_module(spark, pages_df):
+    """r5 native-scrub twin: the JVM regexp_replace chain must be
+    byte-identical to the pandas-UDF/oracle module (same SCRUB_RULES)
+    over the fixture corpus — which plants emails/phones/IPs/slurs —
+    and the native hit count must equal pii_hit_count."""
+    from language_identification_spark.functions.scrub import (
+        pii_hit_count,
+        pii_hits_native,
+        scrub_native,
+        scrub_text,
+    )
+
+    rows = pages_df.select(
+        "text",
+        scrub_native(F.col("text")).alias("native"),
+        pii_hits_native(F.col("text")).alias("n"),
+    ).collect()
+    assert len(rows) > 0
+    planted = 0
+    for r in rows:
+        assert r["native"] == scrub_text(r["text"])
+        assert r["n"] == pii_hit_count(r["text"])
+        planted += r["n"]
+    assert planted > 0, "fixture plants PII; zero hits means a dead test"
+
+
+def test_scrub_native_cases(spark):
+    """Edge pins for the native chain: null passthrough, empty string,
+    case-insensitive slur, adjacent rules, count on the ORIGINAL text
+    (an email's digits must not double-count as a phone)."""
+    from language_identification_spark.functions.scrub import (
+        pii_hits_native,
+        scrub_native,
+    )
+
+    rows = [
+        ("mail a.b+c@ex-1.org or GROBNAK!",),
+        ("ip 10.0.0.1, phone +44-555-123-4567",),
+        ("ZilftWerp quvvorn grobnak",),
+        ("clean text, no hits",),
+        ("",),
+        (None,),
+    ]
+    got = (
+        spark.createDataFrame(rows, "t string")
+        .select(
+            scrub_native(F.col("t")).alias("s"),
+            pii_hits_native(F.col("t")).alias("n"),
+        )
+        .collect()
+    )
+    assert [(r["s"], r["n"]) for r in got] == [
+        ("mail <EMAIL> or <TOX>!", 2),
+        ("ip <IP>, phone <PHONE>", 2),
+        ("<TOX> <TOX> <TOX>", 3),
+        ("clean text, no hits", 0),
+        ("", 0),
+        (None, None),
+    ]
+
+
+def test_percentile_filter_known_values(spark):
+    """r5 percentile filter: exact per-group thresholds on hand-built
+    values — group a = 1..8 (q25 = 2.75, keep 3..8), group b = constant
+    (everything survives any frac), frac=0 keeps all, frac=1 keeps only
+    the max."""
+    from language_identification_spark.operators.filtering import (
+        percentile_filter,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 9)] + [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, s double")
+    got = percentile_filter(df, "s", frac=0.25, group_col="g", exact=True)
+    kept = sorted((r["g"], r["s"]) for r in got.collect())
+    assert kept == sorted(
+        [("a", float(v)) for v in range(3, 9)] + [("b", 5.0)] * 4
+    )
+    assert percentile_filter(df, "s", frac=0.0, group_col="g", exact=True).count() == 12
+    top = percentile_filter(df, "s", frac=1.0, group_col="g", exact=True)
+    assert sorted((r["g"], r["s"]) for r in top.collect()) == [
+        ("a", 8.0), ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)
+    ]
+
+
+def test_percentile_filter_approx_matches_exact_small(spark):
+    """The serving default (approx_percentile) equals the exact path when
+    the interpolated quantile lands on a data point (101 values 0..100 at
+    frac=0.1 -> threshold exactly 10.0 in both; approx_percentile is
+    rank-based and never interpolates, so off-grid quantiles legitimately
+    differ by one boundary element). Also covers the ungrouped path."""
+    from language_identification_spark.operators.filtering import (
+        percentile_filter,
+    )
+
+    rows = [(float(v),) for v in range(101)]
+    df = spark.createDataFrame(rows, "s double")
+    exact = {
+        r["s"] for r in percentile_filter(df, "s", frac=0.1, exact=True).collect()
+    }
+    approx = {
+        r["s"] for r in percentile_filter(df, "s", frac=0.1).collect()
+    }
+    assert exact == approx
+    assert min(exact) == 10.0 and len(exact) == 91
+
+
+def test_drop_reason_matches_keep(spark):
+    """r5 reason codes: kept <=> drop_reason IS NULL must hold for ANY
+    feature combination — checked over 600 seeded-random rows sweeping
+    each rule's threshold neighborhood."""
+    import numpy as np
+    import pandas as pd
+
+    from language_identification_spark.pipeline import rules
+
+    rng = np.random.default_rng(11)
+    n = 600
+    cols = {}
+    int_cols = {"n_chars", "n_words"}
+    for _, col, op, t in rules.RULE_SPECS:
+        if col in cols:
+            continue
+        if col in int_cols:
+            cols[col] = rng.integers(max(0, int(t) - 10), int(t) * 3, n)
+        else:
+            cols[col] = np.round(rng.uniform(0, float(t) * 2.5, n), 4)
+    pdf = pd.DataFrame(cols)
+    # A uniform random sweep virtually never satisfies all ~20 rules at
+    # once, so append rows built to sit mid-interval on every rule --
+    # guaranteeing the kept branch is exercised too.
+    lo = {c: 0.0 for c in cols}
+    hi = {c: None for c in cols}
+    for _, col, op, t in rules.RULE_SPECS:
+        if op == "<":
+            lo[col] = max(lo[col], float(t))
+        else:
+            hi[col] = float(t) if hi[col] is None else min(hi[col], float(t))
+    passing = {
+        c: (lo[c] + hi[c]) / 2 if hi[c] is not None else lo[c] * 2 + 1
+        for c in cols
+    }
+    pdf = pd.concat(
+        [pdf, pd.DataFrame([passing] * 5)], ignore_index=True
+    )
+    for c in int_cols:
+        pdf[c] = pdf[c].astype("int64")
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        rules.keep_expr().alias("kept"),
+        rules.drop_reason_expr().alias("reason"),
+    ).collect()
+    n_kept = 0
+    for r in got:
+        assert bool(r["kept"]) == (r["reason"] is None), dict(r.asDict())
+        n_kept += int(bool(r["kept"]))
+    assert 0 < n_kept < len(got)
+
+
+def test_drop_reason_first_fail_order(spark):
+    """When several rules fail at once the FIRST in contract order wins
+    (too_few_chars outranks lang_conf_low etc.)."""
+    import pandas as pd
+
+    from language_identification_spark.pipeline import rules
+
+    plan_cols = {c for _, c, _, _ in rules.RULE_SPECS}
+    row = {}
+    for _, col, op, t in rules.RULE_SPECS:
+        if col in ("n_chars", "n_words"):
+            row[col] = 0  # fails the < rules
+        elif op == "<":
+            row.setdefault(col, 0.0)
+        else:
+            row.setdefault(col, float(t) * 10)
+    assert set(row) == plan_cols
+    df = spark.createDataFrame(pd.DataFrame([row]))
+    got = df.select(rules.drop_reason_expr().alias("r")).first()
+    assert got["r"] == rules.RULE_SPECS[0][0]

@@ -905,3 +905,37 @@ def test_interval_point_join(spark):
         iv, pts, key="k", start="s", end="e", ts="t", bin_width_us=W
     ).collect()
     assert len(rows) == len(got)
+
+
+def test_exact_incremental_dedup(spark):
+    """r5 exact-dedup leg of the daily-crawl shape: new docs byte-equal
+    to a corpus doc vanish, fresh docs survive, the digest-table reuse
+    path gives the same answer, and two identical new docs both die
+    against a corpus hit (within-shard dedup is a different operator)."""
+    from language_identification_spark.operators.dedup import (
+        exact_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha text"), (11, "fresh one"), (12, "beta text"),
+         (13, "fresh two"), (14, "alpha text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in exact_incremental_dedup(new, corpus).collect()}
+    assert got == {11, 13}
+
+    digests = corpus.selectExpr("sha2(text, 256) AS digest")
+    via_digests = {
+        r["doc_id"]
+        for r in exact_incremental_dedup(new, corpus_digests=digests).collect()
+    }
+    assert via_digests == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_incremental_dedup(new)
