@@ -898,6 +898,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.exact_incremental_dedup(new, corpus)
 
+    def sequence_packing(spark, sf):
+        # r5 net-new: GPT-style concatenate-and-slice packing of the
+        # per-shard (source) token stream into 256-token training
+        # windows (operators/packing.pack_sequences). The oracle runs
+        # the SAME window recurrence via pack_sequences_sql.
+        from language_identification_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "source", token_count_ws(F.col("text")).alias("n_tokens")
+        )
+        return pack_sequences(
+            d, seq_len=256, shard_col="source"
+        ).select(
+            "doc_id", "source", "n_tokens",
+            "pack_id", "pack_offset", "spans_packs",
+        )
+
+    def doc_chunks(spark, sf):
+        # r5 net-new: sliding-window chunking (32-token chunks every 24
+        # tokens) of a doc subset (operators/packing.chunk_documents).
+        from language_identification_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+        return chunk_documents(d, chunk=32, stride=24)
+
+    def snapshot_diff(spark, sf):
+        # r5 net-new: crawl-refresh diff (operators/snapshots). The two
+        # snapshots are synthesized from the documents table: the new
+        # crawl drops every 11th url, rewrites every 7th (marker
+        # suffix), and discovers a shifted-id batch from every 13th.
+        from language_identification_spark.operators import snapshots
+
+        d = _t(spark, sf, "documents")
+        old = d.select("doc_id", "text")
+        changed = F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text"))
+        new = (
+            d.filter(F.col("doc_id") % 11 != 0)
+            .select("doc_id", changed.alias("text"))
+            .unionAll(
+                d.filter(F.col("doc_id") % 13 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return snapshots.snapshot_diff(old, new, key_col="doc_id")
+
     def dedup_jaccard(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
         pairs = dedup.jaccard_similar_pairs(d, n=8, threshold=0.8)
@@ -1522,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_exact_incremental": dedup_exact_incremental,
+        "sequence_packing": sequence_packing,
+        "doc_chunks": doc_chunks,
+        "snapshot_diff": snapshot_diff,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -1648,6 +1703,16 @@ def _duck_ngrams(inner: str, text_expr: str, n: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    def _packing_mod():
+        from language_identification_spark.operators import packing
+
+        return packing
+
+    def _snapshots_mod():
+        from language_identification_spark.operators import snapshots
+
+        return snapshots
+
     from language_identification_spark.functions.html import (
         oracle_sql_exprs as _html_exprs,
     )
@@ -2693,6 +2758,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT n.doc_id, n.text FROM nw n
           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
         """,
+        # Generated from the same code the Spark queries run
+        # (packing.pack_sequences_sql / chunk_documents_sql /
+        # snapshots.snapshot_diff_sql) so thresholds and window
+        # recurrences cannot drift between engines.
+        "sequence_packing": _packing_mod().pack_sequences_sql(
+            seq_len=256,
+            table="""(
+              SELECT doc_id, source,
+                     CASE WHEN len(text) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(text, '[ \t\n]+'))
+                     END AS n_tokens
+              FROM documents)""",
+            cols="doc_id, source, n_tokens",
+            shard_col="source",
+        ),
+        "doc_chunks": _packing_mod().chunk_documents_sql(
+            chunk=32,
+            stride=24,
+            table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+        ),
+        "snapshot_diff": _snapshots_mod().snapshot_diff_sql(
+            old_sql="SELECT doc_id, text FROM documents",
+            new_sql="""
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 13 = 0
+            """,
+            key_col="doc_id",
+        ),
         "dedup_jaccard": jacc_base
         + """
           SELECT i.id_a, i.id_b,

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_exact_incremental",
     "drop_reasons",
     "quality_percentile_filter",
+    "sequence_packing",
+    "doc_chunks",
+    "snapshot_diff",
     "compression_signal",
     "stratified_sample",
     "span_dedup",

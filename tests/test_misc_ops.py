@@ -647,3 +647,108 @@ def test_drop_reason_first_fail_order(spark):
     df = spark.createDataFrame(pd.DataFrame([row]))
     got = df.select(rules.drop_reason_expr().alias("r")).first()
     assert got["r"] == rules.RULE_SPECS[0][0]
+
+
+def test_pack_sequences_known_values(spark):
+    """r5 packing: hand-computed window assignment — per-shard token
+    stream [100, 100, 100] at seq_len=128 gives cum starts 0/100/200 ->
+    packs 0/0/1, offsets 0/100/72; docs 2 and 3 straddle a boundary.
+    A second shard restarts the stream; a zero-token doc never spans."""
+    from language_identification_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = (
+        [(i, "a", 100) for i in range(3)]
+        + [(10, "b", 100), (11, "b", 0), (12, "b", 50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["spans_packs"])
+        for r in pack_sequences(df, 128, shard_col="shard").collect()
+    }
+    assert got[0] == (0, 0, False)
+    assert got[1] == (0, 100, True)   # tokens 100..199 cross 128
+    assert got[2] == (1, 72, True)    # tokens 200..299 cross 256
+    assert got[10] == (0, 0, False)   # shard stream restarts
+    assert got[11] == (0, 100, False)  # zero-token doc never spans
+    assert got[12] == (0, 100, True)  # tokens 100..149 cross 128
+
+    try:
+        pack_sequences(df, 0)
+        assert False, "seq_len=0 must raise"
+    except ValueError:
+        pass
+
+
+def test_chunk_documents_cases(spark):
+    """r5 chunking: 10-token doc at chunk=4/stride=3 -> starts 0,3,6,9
+    with sizes 4,4,4,1 and exact text slices; short doc -> one chunk;
+    empty and whitespace-only docs -> zero rows; disjoint default
+    stride=chunk tiles without overlap."""
+    from language_identification_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),
+            (2, "only three words"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(df, chunk=4, stride=3).collect()
+    one = sorted(
+        (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in got
+        if r["doc_id"] == 1
+    )
+    assert one == [
+        (0, 0, 4, "w0 w1 w2 w3"),
+        (1, 3, 4, "w3 w4 w5 w6"),
+        (2, 6, 4, "w6 w7 w8 w9"),
+        (3, 9, 1, "w9"),
+    ]
+    assert [
+        (r["n_chunk_tokens"], r["chunk_text"]) for r in got if r["doc_id"] == 2
+    ] == [(3, "only three words")]
+    assert not [r for r in got if r["doc_id"] in (3, 4)]
+
+    disjoint = chunk_documents(df.filter("doc_id = 1"), chunk=4).collect()
+    assert sorted(r["start_token"] for r in disjoint) == [0, 4, 8]
+
+
+def test_snapshot_diff_statuses(spark):
+    """r5 snapshot diff: each status from a hand-built pair of
+    snapshots, plus dup-key determinism (two fetches of one url in a
+    snapshot collapse to one row via min-digest)."""
+    from language_identification_spark.operators.snapshots import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone"),
+         ("u4", "aaa"), ("u4", "bbb")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u5", "fresh"), ("u4", "aaa")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed",
+        "u5": "added", "u4": "changed",
+    }
+    # u4 collapses to ONE row (no fan-out) with a deterministic digest:
+    # min(sha256) over {aaa,bbb} is sha256(bbb) ("3e74..." < "9834..."),
+    # which differs from new's sha256(aaa) -> changed.
+    import hashlib
+
+    assert min(
+        hashlib.sha256(b"aaa").hexdigest(), hashlib.sha256(b"bbb").hexdigest()
+    ) == hashlib.sha256(b"bbb").hexdigest()
+    assert snapshot_diff(old, new).count() == 5
