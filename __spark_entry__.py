@@ -950,6 +950,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshots.snapshot_diff(old, new, key_col="doc_id")
 
+    def ccnet_buckets(spark, sf):
+        # r5 net-new: CCNet-style head/middle/tail terciles per lang
+        # (operators/selection.quantile_buckets) on the shared q_score.
+        # exact=True so quantile_cont twins bit-for-bit; serving default
+        # is approx_percentile (same plan shape).
+        from language_identification_spark.functions.analysis import (
+            quality_score,
+        )
+        from language_identification_spark.operators.selection import (
+            quantile_buckets,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "lang", quality_score(F.col("text")).alias("q_score")
+        )
+        return quantile_buckets(d, "q_score", "lang", exact=True).select(
+            "doc_id", "lang", "bucket"
+        )
+
+    def dsir_weights(spark, sf):
+        # r5 net-new: DSIR hashed-unigram importance weights
+        # (operators/selection.dsir_weights) in integer micro-nats;
+        # target = the 'en' slice, raw = the whole table. The oracle is
+        # generated by dsir_weights_sql from the same fold / smoothing /
+        # quantization constants.
+        from language_identification_spark.operators.selection import (
+            dsir_weights as _dsir,
+        )
+
+        d = _t(spark, sf, "documents")
+        return _dsir(
+            d.select("doc_id", "text"),
+            d.filter(F.col("lang") == "en").select("doc_id", "text"),
+            n_buckets=1024,
+        )
+
     def dedup_jaccard(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
         pairs = dedup.jaccard_similar_pairs(d, n=8, threshold=0.8)
@@ -1577,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "doc_chunks": doc_chunks,
         "snapshot_diff": snapshot_diff,
+        "ccnet_buckets": ccnet_buckets,
+        "dsir_weights": dsir_weights,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -1712,6 +1750,11 @@ def oracle_sql() -> dict[str, str]:
         from language_identification_spark.operators import snapshots
 
         return snapshots
+
+    def _selection_mod():
+        from language_identification_spark.operators import selection
+
+        return selection
 
     from language_identification_spark.functions.html import (
         oracle_sql_exprs as _html_exprs,
@@ -2777,6 +2820,19 @@ def oracle_sql() -> dict[str, str]:
             chunk=32,
             stride=24,
             table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+        ),
+        "ccnet_buckets": _selection_mod().quantile_buckets_sql(
+            table="(SELECT doc_id, lang, "
+            + _Q_SCORE_SQL
+            + " AS q_score FROM documents)",
+            cols="d.doc_id, d.lang",
+            score_col="q_score",
+            group_col="lang",
+        ),
+        "dsir_weights": _selection_mod().dsir_weights_sql(
+            raw_sql="SELECT doc_id, text FROM documents",
+            target_sql="SELECT doc_id, text FROM documents WHERE lang = 'en'",
+            n_buckets=1024,
         ),
         "snapshot_diff": _snapshots_mod().snapshot_diff_sql(
             old_sql="SELECT doc_id, text FROM documents",

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     "doc_chunks",
     "snapshot_diff",
+    "ccnet_buckets",
+    "dsir_weights",
     "compression_signal",
     "stratified_sample",
     "span_dedup",

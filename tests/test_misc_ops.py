@@ -752,3 +752,98 @@ def test_snapshot_diff_statuses(spark):
         hashlib.sha256(b"aaa").hexdigest(), hashlib.sha256(b"bbb").hexdigest()
     ) == hashlib.sha256(b"bbb").hexdigest()
     assert snapshot_diff(old, new).count() == 5
+
+
+def test_quantile_buckets_known_values(spark):
+    """r5 CCNet buckets: exact terciles on 1..9 (q33=3.667, q66=6.333)
+    split head={1,2,3}, middle={4,5,6}, tail={7,8,9}; a constant group
+    lands entirely in head (score <= q33); bad labels/qs raise."""
+    from language_identification_spark.operators.selection import (
+        quantile_buckets,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 10)] + [("b", 4.0)] * 3
+    df = spark.createDataFrame(rows, "g string, s double")
+    got = quantile_buckets(df, "s", "g", exact=True).collect()
+    by = {}
+    for r in got:
+        by.setdefault((r["g"], r["bucket"]), set()).add(r["s"])
+    assert by[("a", "head")] == {1.0, 2.0, 3.0}
+    assert by[("a", "middle")] == {4.0, 5.0, 6.0}
+    assert by[("a", "tail")] == {7.0, 8.0, 9.0}
+    assert by[("b", "head")] == {4.0} and ("b", "middle") not in by
+
+    for bad in (
+        dict(labels=("x", "y")),                      # len mismatch
+        dict(qs=(0.9, 0.1), labels=("x", "y", "z")),  # unsorted
+        dict(qs=(0.0, 0.5), labels=("x", "y", "z")),  # out of (0,1)
+    ):
+        try:
+            quantile_buckets(df, "s", "g", **bad)
+            assert False, f"{bad} must raise"
+        except ValueError:
+            pass
+
+
+def test_dsir_weights_semantics(spark):
+    """r5 DSIR: (1) zero-token docs weigh exactly 0; (2) a doc of
+    target-corpus tokens outweighs a doc of raw-only tokens; (3) weight
+    is additive in tokens (doubling a doc's tokens doubles its weight,
+    micro-nat exact) — the bag-of-buckets unigram contract."""
+    from language_identification_spark.operators.selection import (
+        dsir_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "science physics theorem proof") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "science physics"),
+            (1, "gossip celebrity"),
+            (2, ""),
+            (3, "science physics science physics"),
+        ]
+        + [(10 + i, "gossip celebrity scandal rumor") for i in range(4)],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["dsir_weight_micro"]
+        for r in dsir_weights(raw, target, n_buckets=256).collect()
+    }
+    assert set(w) == {0, 1, 2, 3, 10, 11, 12, 13}
+    assert w[2] == 0
+    assert w[0] > w[1], (w[0], w[1])
+    assert w[3] == 2 * w[0]
+
+
+def test_token_buckets_cross_engine_fold(spark):
+    """The per-token fold Spark computes equals the DuckDB twin
+    (_fold_sql) token by token — the primitive both gate engines build
+    their DSIR buckets from."""
+    import duckdb
+
+    from language_identification_spark.operators.selection import (
+        _fold_sql,
+        token_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    toks = ["hello", "wörld", "汉字", "x", ""]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    spark_got = {
+        r["t"]: r["b"]
+        for r in df.select(
+            "t", F.try_element_at(token_buckets(F.col("t"), 4096), F.lit(1)).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        if t == "":
+            assert spark_got[t] is None  # empty text -> empty array
+            continue
+        duck = con.sql(
+            f"SELECT ({_fold_sql('?')} % 4096)::INT"
+        , params=[t]).fetchone()[0]
+        assert spark_got[t] == duck, (t, spark_got[t], duck)
