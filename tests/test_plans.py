@@ -217,9 +217,12 @@ def test_lsh_verify_default_broadcasts_candidates(spark, sf_dir):
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
-    """r5 decontamination: the eval n-gram hash set must broadcast into
-    the LeftSemi — a shuffle of corpus n-gram hashes against a
-    benchmark-sized eval set is the plan this operator exists to avoid."""
+    """r5 decontamination: the eval n-gram hash set must BROADCAST into
+    the hit-marking LeftOuter join (the single-pass redesign replaced
+    the earlier LeftSemi draft) — a SortMergeJoin here would shuffle
+    every corpus n-gram hash against a benchmark-sized eval set, the
+    plan this operator exists to avoid. The corpus explode subtree must
+    appear exactly once (totals and hits from ONE aggregation)."""
     from language_identification_spark.operators.decontamination import (
         ngram_contamination,
     )
@@ -232,8 +235,11 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     plan = explain_str(out)
     import re
 
-    semis = re.findall(r"BroadcastHashJoin .*LeftSemi", plan)
-    assert semis, plan
+    outers = re.findall(r"BroadcastHashJoin LeftOuter", plan)
+    assert outers, plan
+    assert "SortMergeJoin" not in plan, plan
+    # one corpus pass: the n-gram explode runs once for totals AND hits
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan  # corpus + eval
 
 
 def test_sampling_is_shuffle_free(spark, sf_dir):
@@ -268,3 +274,57 @@ def test_host_filter_is_semi_join(spark, sf_dir):
     plan = explain_str(out)
     assert "LeftSemi" in plan, plan
     assert "ResolvedHint" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """r5 chunking: split -> sequence -> posexplode -> slice is pure
+    per-row work; any Exchange means it stopped fusing into the scan."""
+    from language_identification_spark.operators.packing import (
+        chunk_documents,
+    )
+    from language_identification_spark.plans.asserts import assert_no_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_no_shuffle(chunk_documents(docs, chunk=32, stride=24))
+
+
+def test_packing_is_one_window_per_shard(spark, sf_dir):
+    """r5 packing: exactly ONE Exchange (on the shard key) feeding ONE
+    Window — a second Exchange or a global (partitionless) window means
+    the per-shard independence the operator promises is gone."""
+    import re
+
+    from language_identification_spark.operators.packing import (
+        pack_sequences,
+    )
+    from language_identification_spark.plans.asserts import explain_str
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", F.col("n_chars").alias("n_tokens"))
+    )
+    plan = explain_str(pack_sequences(docs, 4096, shard_col="source"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "windowspecdefinition(source" in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """r5 DSIR: the B-row log-ratio table must BROADCAST into the
+    corpus-side token join (SortMergeJoin there would shuffle every
+    token's bucket row), and no Python appears anywhere in the plan."""
+    from language_identification_spark.operators.selection import (
+        dsir_weights,
+    )
+    from language_identification_spark.plans.asserts import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_weights(
+        docs.select("doc_id", "text"),
+        docs.filter("lang = 'en'").select("doc_id", "text"),
+        n_buckets=256,
+    )
+    plan = explain_str(out)
+    head = plan.split("(1) Scan", 1)[0]  # tree section: corpus-side join is the top join
+    assert "BroadcastHashJoin LeftOuter" in head, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
