@@ -950,6 +950,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshots.snapshot_diff(old, new, key_col="doc_id")
 
+    def refresh_pipeline(spark, sf):
+        # r5 composition gate #2 — the corpus-REFRESH chain as ONE
+        # query: snapshot_diff scopes the new crawl down to
+        # added/changed urls (removed/unchanged never touch the
+        # pipeline), then only the scoped docs pay quality filtering
+        # (word bounds) + native PII scrub. Pins that the diff's status
+        # column composes with the filter/scrub contracts.
+        from language_identification_spark.functions.scrub import (
+            scrub_native,
+        )
+        from language_identification_spark.functions.text import words
+        from language_identification_spark.operators import snapshots
+
+        d = _t(spark, sf, "documents")
+        old = d.select("doc_id", "text")
+        changed = F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text"))
+        new = (
+            d.filter(F.col("doc_id") % 11 != 0)
+            .select("doc_id", changed.alias("text"))
+            .unionAll(
+                d.filter(F.col("doc_id") % 13 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                )
+            )
+        )
+        diff = snapshots.snapshot_diff(old, new, key_col="doc_id")
+        scoped = new.join(
+            diff.filter(F.col("status").isin("added", "changed")).select(
+                "doc_id", "status"
+            ),
+            "doc_id",
+        )
+        return (
+            scoped.withColumn("n_words", F.size(words(F.col("text"))))
+            .filter(F.col("n_words") >= 3)
+            .select(
+                "doc_id",
+                "status",
+                "n_words",
+                scrub_native(F.col("text")).alias("scrubbed"),
+            )
+        )
+
     def ccnet_buckets(spark, sf):
         # r5 net-new: CCNet-style head/middle/tail terciles per lang
         # (operators/selection.quantile_buckets) on the shared q_score.
@@ -1615,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": snapshot_diff,
         "ccnet_buckets": ccnet_buckets,
         "dsir_weights": dsir_weights,
+        "refresh_pipeline": refresh_pipeline,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -2821,6 +2867,42 @@ def oracle_sql() -> dict[str, str]:
             stride=24,
             table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
         ),
+        "refresh_pipeline": """
+          WITH nw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 13 = 0
+          ),
+          diff AS (
+        """
+        + _snapshots_mod().snapshot_diff_sql(
+            old_sql="SELECT doc_id, text FROM documents",
+            new_sql="SELECT * FROM nw",
+            key_col="doc_id",
+        )
+        + """
+          ),
+          scoped AS (
+            SELECT n.doc_id, d.status, n.text
+            FROM nw n JOIN diff d USING (doc_id)
+            WHERE d.status IN ('added', 'changed')
+          ),
+          counted AS (
+            SELECT doc_id, status, text,
+                   len(regexp_split_to_array(
+                     text, '[ \t\n\x0B\f\r]+'))::INT AS n_words
+            FROM scoped
+          )
+          SELECT doc_id, status, n_words,
+                 """
+        + _scrub_exprs("text")[0]
+        + """ AS scrubbed
+          FROM counted WHERE n_words >= 3
+        """,
         "ccnet_buckets": _selection_mod().quantile_buckets_sql(
             table="(SELECT doc_id, lang, "
             + _Q_SCORE_SQL

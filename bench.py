@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "ccnet_buckets",
     "dsir_weights",
+    "refresh_pipeline",
     "compression_signal",
     "stratified_sample",
     "span_dedup",
