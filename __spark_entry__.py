@@ -950,6 +950,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshots.snapshot_diff(old, new, key_col="doc_id")
 
+    def html_links(spark, sf):
+        # r5 net-new: anchor extraction (operators/linkgraph) — the
+        # crawl-frontier step. Markup synthesized from doc_id (same
+        # discipline as html_extract): one absolute link per page, a
+        # relative second link on every 3rd page.
+        from language_identification_spark.operators.linkgraph import (
+            extract_links,
+        )
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        html = F.concat(
+            F.lit('<html><body><p>intro</p><a href="https://h'),
+            (did % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            did.cast("string"),
+            F.lit('">link</a>'),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit('<a class="rel" href="/rel/'),
+                    did.cast("string"),
+                    F.lit('">rel</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        )
+        return extract_links(d.select("doc_id", html.alias("html")))
+
+    def host_pagerank(spark, sf):
+        # r5 net-new: fixed-iteration integer-micro PageRank
+        # (operators/linkgraph.pagerank) over a deterministic 29-host
+        # graph synthesized from doc_id. The dst map is QUADRATIC so
+        # in/out degrees are non-uniform (a linear map with an
+        # invertible multiplier makes a permutation graph whose uniform
+        # rank is a fixed point — useless as a gate). The oracle
+        # unrolls the SAME recurrence via pagerank_sql — per-edge
+        # contributions round to BIGINT before summation, so
+        # aggregation order cannot flip the gate.
+        from language_identification_spark.operators.linkgraph import (
+            pagerank,
+        )
+
+        d = _t(spark, sf, "documents")
+        edges = d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 29).cast("string")).alias(
+                "src"
+            ),
+            F.concat(
+                F.lit("h"),
+                ((F.col("doc_id") * F.col("doc_id") + 3) % 29).cast("string"),
+            ).alias("dst"),
+        )
+        return pagerank(edges, n_iter=3)
+
     def refresh_pipeline(spark, sf):
         # r5 composition gate #2 — the corpus-REFRESH chain as ONE
         # query: snapshot_diff scopes the new crawl down to
@@ -1661,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": ccnet_buckets,
         "dsir_weights": dsir_weights,
         "refresh_pipeline": refresh_pipeline,
+        "html_links": html_links,
+        "host_pagerank": host_pagerank,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -1801,6 +1858,11 @@ def oracle_sql() -> dict[str, str]:
         from language_identification_spark.operators import selection
 
         return selection
+
+    def _linkgraph_mod():
+        from language_identification_spark.operators import linkgraph
+
+        return linkgraph
 
     from language_identification_spark.functions.html import (
         oracle_sql_exprs as _html_exprs,
@@ -2866,6 +2928,32 @@ def oracle_sql() -> dict[str, str]:
             chunk=32,
             stride=24,
             table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+        ),
+        "html_links": """
+          WITH h AS (
+            SELECT doc_id,
+              '<html><body><p>intro</p><a href="https://h'
+              || (doc_id % 7)::VARCHAR || '.example.com/p/'
+              || doc_id::VARCHAR || '">link</a>'
+              || (CASE WHEN doc_id % 3 = 0
+                       THEN '<a class="rel" href="/rel/'
+                            || doc_id::VARCHAR || '">rel</a>'
+                       ELSE '' END)
+              || '</body></html>' AS html
+            FROM documents
+          )
+          SELECT doc_id,
+                 unnest(regexp_extract_all(html,
+                   '<a[^>]*href="([^"]*)"', 1)) AS href
+          FROM h
+        """,
+        "host_pagerank": _linkgraph_mod().pagerank_sql(
+            edges_sql="""
+              SELECT 'h' || (doc_id % 29)::VARCHAR AS src,
+                     'h' || ((doc_id * doc_id + 3) % 29)::VARCHAR AS dst
+              FROM documents
+            """,
+            n_iter=3,
         ),
         "refresh_pipeline": """
           WITH nw AS (

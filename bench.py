@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "dsir_weights",
     "refresh_pipeline",
+    "html_links",
+    "host_pagerank",
     "compression_signal",
     "stratified_sample",
     "span_dedup",

@@ -847,3 +847,77 @@ def test_token_buckets_cross_engine_fold(spark):
             f"SELECT ({_fold_sql('?')} % 4096)::INT"
         , params=[t]).fetchone()[0]
         assert spark_got[t] == duck, (t, spark_got[t], duck)
+
+
+def test_extract_links_cases(spark):
+    """r5 link extraction: multi-anchor pages keep document order,
+    anchor-free pages yield zero rows, attributes before href are
+    tolerated, single-quoted hrefs are (by pinned contract) NOT matched."""
+    from language_identification_spark.operators.linkgraph import (
+        extract_links,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="x">1</a> mid <a class="c" href="/y">2</a>'),
+            (2, "<p>no links at all</p>"),
+            (3, "<a href='single-quoted'>skip</a>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = [(r["doc_id"], r["href"]) for r in extract_links(df).collect()]
+    assert sorted(got) == [(1, "/y"), (1, "x")]
+
+
+def test_pagerank_matches_pure_python_recurrence(spark):
+    """r5 PageRank: the Spark keyed-join loop equals an independent
+    pure-Python implementation of the same integer-micro recurrence on
+    a seeded random graph (long chain + hub + dangling node), iteration
+    by iteration."""
+    import math
+    import random
+
+    from language_identification_spark.operators.linkgraph import (
+        MICRO,
+        pagerank,
+    )
+
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = set()
+    for i in range(29):
+        edges.add((f"n{i}", f"n{i+1}"))       # chain
+    for i in range(0, 30, 3):
+        edges.add((f"n{i}", "n7"))            # hub
+    for _ in range(40):
+        edges.add((rng.choice(nodes), rng.choice(nodes)))
+    # make n29 dangling (no out-edges): drop anything it points at
+    edges = {(s, d) for s, d in edges if s != "n29"}
+
+    d = 0.85
+    present = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(present)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    teleport = math.floor((1 - d) * MICRO / n + 0.5)
+    rank = {v: math.floor(MICRO / n + 0.5) for v in present}
+    for _ in range(4):
+        inflow = {}
+        for s, t in edges:
+            c = math.floor(d * rank[s] / deg[s] + 0.5)
+            inflow[t] = inflow.get(t, 0) + c
+        rank = {v: teleport + inflow.get(v, 0) for v in present}
+
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(df, n_iter=4, checkpoint=False).collect()
+    }
+    assert got == rank
+
+    try:
+        pagerank(df, n_iter=0)
+        assert False, "n_iter=0 must raise"
+    except ValueError:
+        pass
