@@ -950,6 +950,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshots.snapshot_diff(old, new, key_col="doc_id")
 
+    def dedup_lines(spark, sf):
+        # r5 net-new: WITHIN-doc duplicate-line removal
+        # (operators/boilerplate.remove_duplicate_lines) — planted: every
+        # 4th doc gains a repeated footer line (second copy must vanish)
+        # and every 10th doc additionally repeats its own full text as a
+        # second block (whole block collapses). Two-implementation gate:
+        # Spark = order-preserving array_distinct projection; DuckDB =
+        # min-pos window + ordered string_agg.
+        from language_identification_spark.operators.boilerplate import (
+            remove_duplicate_lines,
+        )
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        planted = F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0, F.lit("\nCLICK HERE\nCLICK HERE")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 10 == 0, F.concat(F.lit("\n"), F.col("text"))
+            ).otherwise(F.lit("")),
+        )
+        return remove_duplicate_lines(d.select("doc_id", planted.alias("text")))
+
     def html_links(spark, sf):
         # r5 net-new: anchor extraction (operators/linkgraph) — the
         # crawl-frontier step. Markup synthesized from doc_id (same
@@ -1718,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_pipeline": refresh_pipeline,
         "html_links": html_links,
         "host_pagerank": host_pagerank,
+        "dedup_lines": dedup_lines,
         "dedup_jaccard": dedup_jaccard,
         "embedding_topk": embedding_topk,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -2929,6 +2955,42 @@ def oracle_sql() -> dict[str, str]:
             stride=24,
             table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
         ),
+        "dedup_lines": """
+          WITH planted AS (
+            SELECT doc_id,
+              text
+              || (CASE WHEN doc_id % 4 = 0
+                       THEN chr(10)||'CLICK HERE'||chr(10)||'CLICK HERE'
+                       ELSE '' END)
+              || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || text
+                       ELSE '' END) AS text
+            FROM documents
+          ),
+          l AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM planted
+          ),
+          f AS (
+            SELECT doc_id, line, min(pos) AS pos
+            FROM l GROUP BY doc_id, line
+          ),
+          agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*)::BIGINT AS n_uniq
+            FROM f GROUP BY doc_id
+          ),
+          tot AS (
+            SELECT doc_id,
+                   len(string_split(text, chr(10)))::BIGINT AS n_lines
+            FROM planted
+          )
+          SELECT t.doc_id, a.text, t.n_lines,
+                 (t.n_lines - a.n_uniq)::BIGINT AS n_dup_lines_removed
+          FROM tot t JOIN agg a USING (doc_id)
+        """,
         "html_links": """
           WITH h AS (
             SELECT doc_id,

@@ -127,3 +127,34 @@ def remove_boilerplate_lines(
             ),
         )
     )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-doc duplicate-line removal (CCNet's paragraph dedup,
+    applied at line granularity): keep each line's FIRST occurrence in
+    its document, preserving order; returns (id_col, text_col rebuilt,
+    n_lines, n_dup_lines_removed).
+
+    The cross-doc sibling is :func:`remove_boilerplate_lines`; this one
+    never leaves the row — ``array_distinct`` preserves first-occurrence
+    order in Spark, so the whole operator is ONE whole-stage-codegen
+    projection (zero Python, zero shuffle, fuses into the page scan).
+    The DuckDB gate twin deliberately uses a DIFFERENT implementation
+    (min-pos per (doc, line) + ordered string_agg — DuckDB's
+    list_distinct does not pin order), making `dedup_lines` a genuine
+    two-implementation check like the asof/interval gates.
+
+    Same pinned no-trim bare-``\\n`` line discipline as
+    :func:`doc_lines` (byte-identical lines are what repeat)."""
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(uniq, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(uniq)).cast("long").alias(
+            "n_dup_lines_removed"
+        ),
+    )

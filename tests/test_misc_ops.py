@@ -921,3 +921,31 @@ def test_pagerank_matches_pure_python_recurrence(spark):
         assert False, "n_iter=0 must raise"
     except ValueError:
         pass
+
+
+def test_remove_duplicate_lines_cases(spark):
+    """r5 within-doc line dedup: first occurrence survives in place,
+    later copies vanish; interleaved repeats, all-same docs, single-line
+    and empty docs pinned."""
+    from language_identification_spark.operators.boilerplate import (
+        remove_duplicate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),
+            (2, "x\nx\nx"),
+            (3, "only"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_lines(df).collect()}
+    assert (got[1]["text"], got[1]["n_lines"], got[1]["n_dup_lines_removed"]) == (
+        "a\nb\nc", 5, 2
+    )
+    assert (got[2]["text"], got[2]["n_dup_lines_removed"]) == ("x", 2)
+    assert (got[3]["text"], got[3]["n_dup_lines_removed"]) == ("only", 0)
+    assert (got[4]["text"], got[4]["n_lines"], got[4]["n_dup_lines_removed"]) == (
+        "", 1, 0
+    )
