@@ -685,6 +685,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sample_bucket(F.col("doc_id"), "mix1").alias("bucket"),
         )
 
+    def mojibake_detect(spark, sf):
+        # r5 net-new: native mojibake-signature count (functions/
+        # normalize.mojibake_count). Pseudo-mojibake is planted with
+        # engine-shared string ops (every 5th doc: replace 'e' with the
+        # two-codepoint artifact 'Ã©'); every 7th doc instead gains a
+        # GENUINE accent ('a' -> 'à', a lead-range codepoint followed by
+        # ASCII) which must NOT trigger — the specificity case. The
+        # oracle counts the same MOJIBAKE_CLASS via regexp_extract_all.
+        from language_identification_spark.functions.normalize import (
+            mojibake_count,
+        )
+
+        d = _t(spark, sf, "documents")
+        base = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.translate(F.col("text"), "a", "à"),
+        ).otherwise(F.col("text"))
+        planted = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.replace(base, F.lit("e"), F.lit("Ã©")),
+        ).otherwise(base)
+        return d.select(
+            "doc_id",
+            mojibake_count(planted).cast("long").alias("n_moji"),
+            F.length(planted).cast("long").alias("n_chars_p"),
+        )
+
+    def mojibake_fix(spark, sf):
+        # r5 net-new: UTF-8-as-Latin-1 repair (functions/normalize.
+        # fix_mojibake). Every 6th doc is accented natively ('e'->'é',
+        # 'a'->'à') then mis-decoded by an INDEPENDENT planting UDF
+        # (utf8-encode -> latin1-decode); the fixer must invert it, so
+        # the oracle is just the accented original — a genuine
+        # inverse-function check with no shared code between plant and
+        # fix. was_fixed pins that exactly the non-ASCII planted rows
+        # changed.
+        from language_identification_spark.functions.normalize import (
+            fix_mojibake,
+        )
+
+        @F.pandas_udf("string")
+        def moji_plant(s):
+            return s.map(
+                lambda t: t.encode("utf-8").decode("latin-1")
+                if t is not None
+                else None
+            )
+
+        d = _t(spark, sf, "documents")
+        base = F.when(
+            F.col("doc_id") % 6 == 0,
+            F.translate(F.col("text"), "ea", "éà"),
+        ).otherwise(F.col("text"))
+        planted = F.when(
+            F.col("doc_id") % 6 == 0, moji_plant(base)
+        ).otherwise(base)
+        out = d.select(
+            "doc_id", base.alias("_base"), planted.alias("_planted")
+        ).select(
+            "doc_id",
+            fix_mojibake(F.col("_planted")).alias("text"),
+            "_planted",
+        )
+        return out.select(
+            "doc_id",
+            "text",
+            (F.col("text") != F.col("_planted")).alias("was_fixed"),
+        )
+
+    def corpus_shuffle(spark, sf):
+        # r5 net-new: reproducible global training-order shuffle
+        # (operators/sampling.deterministic_shuffle) — shard = top bits
+        # of a 32-bit sha256 rank (so shard-major order IS the global
+        # hash order) + per-shard row_number, no global sort. The
+        # oracle recomputes rank/shard/pos from the same sha256
+        # arithmetic, so the permutation itself is value-checked.
+        from language_identification_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        return deterministic_shuffle(
+            d, key_col="doc_id", salt="ord1", n_shards=8
+        )
+
     def span_dedup(spark, sf):
         # r5 net-new: span-level exact-substring dedup (operators/
         # span_dedup.py) — a 6-word license slogan is PLANTED on every
@@ -897,6 +982,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return dedup.exact_incremental_dedup(new, corpus)
+
+    def bloom_dedup_incremental(spark, sf):
+        # r5 net-new: the Dolma-shape Bloom-filter leg of incremental
+        # exact dedup (operators/bloom.bloom_incremental_dedup) — the
+        # corpus digest table is only consulted for Bloom "maybe" rows.
+        # Planting mirrors dedup_exact_incremental on a different split:
+        # new = doc_id%10==5, and every doc_id%30==5 new doc borrows the
+        # text of corpus neighbor doc_id+2 (id ≡ 7 mod 10, so always in
+        # the corpus), so those rows must vanish. m_bits=1024/k=2 is
+        # deliberately UNDERSIZED for the ~450-doc corpus (fpp ≈ 0.3) so
+        # the false-positive → exact-verify path is exercised, not just
+        # the definitely-new fast path; the FULL NOT-EXISTS oracle works
+        # for ANY (m,k) because Bloom filters have no false negatives
+        # and false positives are verified away.
+        from language_identification_spark.operators import bloom as B
+
+        d = _t(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") % 10 != 5)
+        donor = corpus.select(
+            (F.col("doc_id") - 2).alias("doc_id"),
+            F.col("text").alias("donor_text"),
+        )
+        new = (
+            d.filter(F.col("doc_id") % 10 == 5)
+            .select("doc_id", "text")
+            .join(donor, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") % 30 == 5)
+                    & F.col("donor_text").isNotNull(),
+                    F.col("donor_text"),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        return B.bloom_incremental_dedup(new, corpus, m_bits=1024, k=2)
 
     def sequence_packing(spark, sf):
         # r5 net-new: GPT-style concatenate-and-slice packing of the
@@ -1728,6 +1851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_reasons": drop_reasons,
         "compression_signal": compression_signal,
         "stratified_sample": stratified_sample,
+        "mojibake_detect": mojibake_detect,
+        "mojibake_fix": mojibake_fix,
+        "corpus_shuffle": corpus_shuffle,
         "span_dedup": span_dedup,
         "domain_filter": domain_filter,
         "asof_join": asof_join,
@@ -1735,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "dedup_exact": dedup_exact,
         "dedup_exact_incremental": dedup_exact_incremental,
+        "bloom_dedup_incremental": bloom_dedup_incremental,
         "sequence_packing": sequence_packing,
         "doc_chunks": doc_chunks,
         "snapshot_diff": snapshot_diff,
@@ -1889,6 +2016,13 @@ def oracle_sql() -> dict[str, str]:
         from language_identification_spark.operators import linkgraph
 
         return linkgraph
+
+    def _moji_class():
+        from language_identification_spark.functions.normalize import (
+            MOJIBAKE_CLASS,
+        )
+
+        return MOJIBAKE_CLASS
 
     from language_identification_spark.functions.html import (
         oracle_sql_exprs as _html_exprs,
@@ -2764,6 +2898,57 @@ def oracle_sql() -> dict[str, str]:
             WHEN 'fr' THEN 500000
             ELSE 0 END)
         """,
+        # Generated from functions/normalize.MOJIBAKE_CLASS and ASCII-safe
+        # codepoint escapes so the two engines share the exact pattern
+        # and planted artifacts (source stays ASCII; the SQL string
+        # carries the literal codepoints at runtime).
+        "mojibake_detect": f"""
+          WITH planted AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0
+                   THEN replace(b.t, 'e', '{"Ã©"}')
+                   ELSE b.t END AS t
+            FROM (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN translate(text, 'a', '{"à"}')
+                     ELSE text END AS t
+              FROM documents
+            ) b
+          )
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{_moji_class()}'))::BIGINT
+                   AS n_moji,
+                 len(t)::BIGINT AS n_chars_p
+          FROM planted
+        """,
+        # Inverse-function gate: the oracle is the ACCENTED ORIGINAL —
+        # if fix_mojibake inverts the independent utf8->latin1 planting
+        # exactly, the texts match byte-for-byte.
+        "mojibake_fix": f"""
+          SELECT doc_id,
+            CASE WHEN doc_id % 6 = 0
+                 THEN translate(text, 'ea', '{"éà"}')
+                 ELSE text END AS text,
+            (doc_id % 6 = 0 AND regexp_matches(text, '[ea]')) AS was_fixed
+          FROM documents
+        """,
+        "corpus_shuffle": """
+          WITH r AS (
+            SELECT doc_id,
+              ('0x' || substr(sha256('ord1' || doc_id::VARCHAR), 1, 8))
+                ::UBIGINT::BIGINT AS rnk
+            FROM documents
+          ),
+          s AS (
+            SELECT doc_id, rnk, (rnk * 8) // 4294967296 AS shard FROM r
+          )
+          SELECT doc_id, shard,
+                 row_number() OVER (
+                   PARTITION BY shard ORDER BY rnk, doc_id
+                 ) AS pos
+          FROM s
+        """,
         "span_dedup": """
           WITH planted AS (
             SELECT doc_id,
@@ -2931,6 +3116,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN d.text ELSE b.text END AS text
             FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) b
             LEFT JOIN corpus d ON d.doc_id = b.doc_id + 1
+          )
+          SELECT n.doc_id, n.text FROM nw n
+          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+        """,
+        # Oracle is hash-function-independent: Bloom filters have no
+        # false negatives and bloom_incremental_dedup exact-verifies
+        # every "maybe", so for ANY (m_bits, k) the output equals the
+        # plain NOT-EXISTS anti-join.
+        "bloom_dedup_incremental": """
+          WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 5),
+          nw AS (
+            SELECT b.doc_id,
+                   CASE WHEN b.doc_id % 30 = 5 AND d.text IS NOT NULL
+                        THEN d.text ELSE b.text END AS text
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5) b
+            LEFT JOIN corpus d ON d.doc_id = b.doc_id + 2
           )
           SELECT n.doc_id, n.text FROM nw n
           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)

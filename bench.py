@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "span_dedup",
     "dedup_exact",
+    "dedup_lines",
+    "bloom_dedup_incremental",
+    "corpus_shuffle",
+    "mojibake_fix",
     "minhash_near_dups",
     "dedup_incremental",
     "dedup_components",

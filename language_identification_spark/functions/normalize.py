@@ -82,3 +82,65 @@ def normalize_text(col: Column) -> Column:
     Order matters and is pinned: control chars are ASCII and NFC-inert,
     stripping first keeps the UDF's input smaller."""
     return nfc_text(strip_control_chars(col))
+
+
+# The two-codepoint signature of UTF-8 bytes mis-decoded as Latin-1: a
+# lead-byte codepoint (U+00C2-U+00F4, the valid UTF-8 lead bytes for
+# 2..4-byte sequences) immediately followed by a continuation-byte
+# codepoint (U+0080-U+00BF). Genuine prose essentially never pairs these
+# (the continuation range is Latin-1 Supplement controls/signs), and
+# every mis-decoded multi-byte character produces exactly one such pair
+# at its head. Built from \\u escapes so the source stays ASCII; the
+# materialized pattern contains literal codepoints, a class syntax
+# shared by Java regex and RE2 — the SAME constant is interpolated into
+# the DuckDB oracle (mojibake_detect gate), so the two engines cannot
+# drift.
+MOJIBAKE_CLASS = "[\u00c2-\u00f4][\u0080-\u00bf]"
+
+
+def mojibake_count(col: Column) -> Column:
+    """Native (whole-stage-codegen) count of mojibake lead/continuation
+    pairs — one per mis-decoded character, 0 on clean text. The
+    detection signal; pair with :func:`fix_mojibake` to repair."""
+    return F.regexp_count(col, F.lit(MOJIBAKE_CLASS))
+
+
+@F.pandas_udf(StringType())
+def fix_mojibake(s: pd.Series) -> pd.Series:
+    """Repair UTF-8-mis-decoded-as-Latin-1 text (ftfy's core trick):
+    while the text shows the mojibake signature AND maps back to bytes
+    via Latin-1 AND those bytes are valid UTF-8, re-decode. At most 3
+    rounds (double-encoded mojibake needs 2; deeper nesting is
+    vanishingly rare and the bound keeps the UDF O(1) per doc). Anything
+    failing any of the three conditions is returned unchanged — the
+    function never corrupts clean text: genuine non-Latin-1 text can't
+    encode, genuine Latin-1 prose is almost never valid UTF-8, and
+    ASCII is a fixed point of the round trip.
+
+    Arrow-batched pandas UDF (no SQL engine can do the encode/decode
+    round trip); the FULL ``mojibake_fix`` gate checks it INVERTS the
+    independent planting function utf8-encode -> latin1-decode."""
+    import re
+
+    pat = re.compile(MOJIBAKE_CLASS)
+
+    def fix(t):
+        if t is None:
+            return None
+        for _ in range(3):
+            if not pat.search(t):
+                break
+            try:
+                b = t.encode("latin-1")
+            except UnicodeEncodeError:
+                break
+            try:
+                t2 = b.decode("utf-8")
+            except UnicodeDecodeError:
+                break
+            if t2 == t:
+                break
+            t = t2
+        return t
+
+    return s.map(fix)

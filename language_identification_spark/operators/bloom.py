@@ -1,0 +1,188 @@
+"""Distributed Bloom-filter membership for incremental exact dedup —
+the Dolma-pipeline shape (Soldaini et al. 2024 use a Bloom filter for
+both document- and paragraph-level exact dedup at CommonCrawl scale).
+
+Why a Bloom filter when :func:`..dedup.exact_incremental_dedup` already
+anti-joins on sha256 digests: at 100 TB the corpus digest set is
+billions of rows, and EVERY incoming shard pays a full shuffle of its
+digests against that table even though almost all of its documents are
+genuinely new. A Bloom filter inverts the cost: the filter is built
+ONCE (one map-side-combined aggregation over the corpus digests,
+yielding ``m_bits/64`` BIGINT words — ~180 MB of rows for 10 B docs at
+1 % fpp), is MERGEABLE across shards (``bit_or`` of word tables), and
+each incoming shard probes it with a narrow join keyed on word index.
+Only the ~fpp fraction of "maybe seen" probes (plus true duplicates)
+ever touches the real digest table for the exact verify — the same
+candidates-then-verify discipline as the MinHash LSH family.
+
+No false negatives: a digest absent from the filter is DEFINITELY new,
+so the final output is exactly equal to the plain anti-join — which is
+why the driver gate for :func:`bloom_incremental_dedup` can be a FULL
+value-level check against a ``NOT EXISTS`` DuckDB oracle even though
+DuckDB cannot reproduce the xxhash64 bit positions: false positives are
+verified away, false negatives cannot exist.
+
+Representation: the filter is a DataFrame ``(word_idx BIGINT, bits
+BIGINT)`` — only words with at least one set bit are materialized
+(missing word = all zero). A table, not a driver-side bitmap: building
+it never collects to the driver, merging two corpora is a union +
+re-``bit_or``, and at probe time Spark/AQE picks broadcast vs shuffle
+join by the filter's actual size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard optimal (m_bits, k) for ``n_items`` at false-positive
+    rate ``fpp``: m = -n·ln p / ln²2 (rounded up to a multiple of 64),
+    k = round(m/n · ln 2), clamped to ≥ 1."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if n_items <= 0:
+        raise ValueError(f"n_items must be positive, got {n_items}")
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _positions(col, m_bits: int, k: int, seed: int):
+    """The k bit positions of one value: pmod(xxhash64(value, seed+i),
+    m_bits). xxhash64 is JVM-side codegen — no Python in the hot path."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom(
+    values: DataFrame,
+    value_col: str,
+    m_bits: int,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """(word_idx, bits): Bloom filter over ``values[value_col]`` as a
+    64-bit-word table. One explode (k rows per value, k is small) + one
+    map-side-combined ``bit_or`` — the only shuffle carries at most
+    ``m_bits/64`` distinct word keys. Words whose bits are all zero are
+    absent from the output."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    pos = F.explode(_positions(F.col(value_col), m_bits, k, seed)).alias("pos")
+    return (
+        values.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    probe: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """(key_col, maybe_in_bloom): true iff ALL k bit positions of
+    ``probe[value_col]`` are set in ``bloom``; false means DEFINITELY
+    not inserted (the no-false-negative guarantee callers build on).
+    ``key_col`` must identify probe rows (duplicate keys would collapse
+    into one flag row).
+
+    Shuffle discipline: only (key, position) pairs explode and only
+    (key, hit) pairs aggregate — the probe's payload columns never
+    enter this subplan; the caller joins the narrow flag table back on
+    ``key_col``. When the filter table is small enough, AQE broadcasts
+    it and the word-idx join is shuffle-free."""
+    exploded = probe.select(
+        F.col(key_col),
+        F.explode(_positions(F.col(value_col), m_bits, k, seed)).alias("_pos"),
+    ).select(
+        key_col,
+        (F.col("_pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+            "_bit"
+        ),
+    )
+    joined = exploded.join(bloom, "word_idx", "left").select(
+        key_col,
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bit"))
+            != F.lit(0)
+        ).alias("_hit"),
+    )
+    return joined.groupBy(key_col).agg(F.min("_hit").alias("maybe_in_bloom"))
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    corpus_digests: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    seed: int = 0,
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """New documents whose text is NOT byte-identical to anything in the
+    corpus — same contract and output as
+    :func:`..dedup.exact_incremental_dedup`, but the corpus digest table
+    is only consulted for the Bloom "maybe" subset:
+
+    1. probe each new digest against the filter (narrow word-idx join);
+    2. ``maybe_in_bloom = false`` rows pass straight through (definitely
+       new — no corpus join at all, the ≫99 % path on a real crawl);
+    3. ``maybe`` rows (true dups + ~fpp false positives) pay the exact
+       digest anti-join, which removes the true dups.
+
+    Output is therefore EXACTLY the plain anti-join's output for any
+    filter parameters — ``m_bits``/``k`` tune cost, never correctness
+    (pinned by the FULL driver gate and
+    tests/test_misc_ops.py::test_bloom_incremental_dedup). Pass a
+    prebuilt ``bloom`` (and ``corpus_digests``) on a real pipeline so
+    the filter is built once per corpus version, not once per shard;
+    size it with :func:`bloom_parameters`.
+    """
+    if corpus_digests is None:
+        if corpus_df is None:
+            raise ValueError("pass corpus_df or corpus_digests")
+        corpus_digests = corpus_df.select(
+            F.sha2(F.col(text_col), 256).alias("digest")
+        )
+    if bloom is None:
+        bloom = build_bloom(corpus_digests, "digest", m_bits, k, seed)
+    cols = new_df.columns
+    new_h = new_df.withColumn("_digest", F.sha2(F.col(text_col), 256))
+    flags = bloom_maybe_contains(
+        new_h.select(id_col, "_digest"), bloom, "_digest", id_col, m_bits, k, seed
+    )
+    probed = new_h.join(flags, id_col)
+    definite_new = probed.filter(~F.col("maybe_in_bloom")).select(*cols)
+    verified_new = (
+        probed.filter(F.col("maybe_in_bloom"))
+        .join(
+            corpus_digests.select(F.col("digest").alias("_digest")),
+            "_digest",
+            "left_anti",
+        )
+        .select(*cols)
+    )
+    return definite_new.unionAll(verified_new)

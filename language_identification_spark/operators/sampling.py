@@ -83,3 +83,47 @@ def stratified_hash_sample(
     for s, r in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == s, F.lit(int(round(r * m)))).otherwise(thr)
     return df.filter(sample_bucket(F.col(key_col), salt, m) < thr)
+
+
+def shuffle_rank(key: Column, salt: str) -> Column:
+    """Full 32-bit uniform rank for :func:`deterministic_shuffle`:
+    ``sha256(salt || key)`` first 8 hex chars as BIGINT. Same
+    cross-engine hex-to-int trick as :func:`sample_bucket`, without the
+    mod-m truncation (ordering wants resolution, not buckets)."""
+    h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_shards: int = 32,
+) -> DataFrame:
+    """(df columns..., shard, pos): a reproducible global random order
+    over the corpus — the shuffle a training run consumes (read shards
+    in shard order, rows by pos within each). Epoch re-shuffles are a
+    salt change; same salt is bit-stable across reruns AND task
+    retries (``F.rand()``/``orderBy(rand())`` is not — see the module
+    docstring's retry-stability argument, which applies doubly to a
+    global sort whose sampled range boundaries also move per run).
+
+    The order is one global hash order, executed WITHOUT a global
+    sort: ``shard`` is the rank's top bits (``rank*n >> 32``), so
+    shard-major (shard, pos) order EQUALS rank order, but the physical
+    plan is one hash Exchange on ``shard`` + per-shard local sorts —
+    |shards| independent tasks, no rangepartitioning sampling pass, no
+    driver-coordinated boundaries. Ties (32-bit rank collisions) break
+    on the key, so the permutation is total and engine-independent.
+    At 100 TB pick n_shards so a shard's rows fit one task's sort
+    buffer (thousands of shards, not 32)."""
+    if n_shards <= 0 or n_shards > (1 << 31):
+        raise ValueError(f"n_shards must be in [1, 2^31], got {n_shards}")
+    from pyspark.sql import Window
+
+    rank = shuffle_rank(F.col(key_col), salt)
+    out = df.withColumn("_rank", rank).withColumn(
+        "shard", F.shiftright(F.col("_rank") * n_shards, 32)
+    )
+    w = Window.partitionBy("shard").orderBy("_rank", key_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_rank")

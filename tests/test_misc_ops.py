@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -949,3 +951,138 @@ def test_remove_duplicate_lines_cases(spark):
     assert (got[4]["text"], got[4]["n_lines"], got[4]["n_dup_lines_removed"]) == (
         "", 1, 0
     )
+
+
+def test_bloom_parameters():
+    """Optimal-sizing formula pins: textbook n=1000 @ 1% fpp, word
+    alignment, k≥1 clamp, and input validation."""
+    from language_identification_spark.operators.bloom import bloom_parameters
+
+    m, k = bloom_parameters(1000, 0.01)
+    assert m == 9600 and k == 7  # ceil(9585.06) -> 64-aligned
+    assert m % 64 == 0
+    # absurdly loose fpp: the 64-bit alignment floor dominates the raw
+    # m (<1 bit), and k follows the ALIGNED m — never below 1
+    m2, k2 = bloom_parameters(10, 0.99)
+    assert m2 == 64 and k2 == round(64 / 10 * math.log(2))
+    m3, k3 = bloom_parameters(10_000, 0.99)
+    assert k3 == 1  # here raw m/n is tiny, so the k>=1 clamp engages
+    for bad in ((0, 0.01), (100, 0.0), (100, 1.0)):
+        with pytest.raises(ValueError):
+            bloom_parameters(*bad)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted value must probe maybe=True (the guarantee the
+    FULL dedup gate rests on), even in a saturated 64-bit filter; a
+    disjoint probe set against a generous filter is mostly False."""
+    from language_identification_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+    )
+
+    vals = spark.range(200).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("v")
+    )
+    for m_bits, k in [(64, 1), (8192, 5)]:
+        bloom = build_bloom(vals, "v", m_bits, k)
+        flags = bloom_maybe_contains(vals, bloom, "v", "id", m_bits, k)
+        assert flags.filter(~F.col("maybe_in_bloom")).count() == 0
+    other = spark.range(200, 400).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("v")
+    )
+    bloom = build_bloom(vals, "v", 8192, 5)
+    hits = (
+        bloom_maybe_contains(other, bloom, "v", "id", 8192, 5)
+        .filter(F.col("maybe_in_bloom"))
+        .count()
+    )
+    assert hits < 20  # fpp ~ (1 - e^-0.122)^5 << 10%
+
+
+def test_bloom_incremental_dedup_equals_exact(spark):
+    """The Bloom path's output is EXACTLY the plain anti-join's output
+    for any (m_bits, k) — undersized filters only grow the verify set,
+    never change the answer."""
+    from language_identification_spark.fixtures.pages import gen_pages
+    from language_identification_spark.operators.bloom import (
+        bloom_incremental_dedup,
+    )
+    from language_identification_spark.operators.dedup import (
+        exact_incremental_dedup,
+    )
+
+    pdf = gen_pages(n_rows=300, seed=11)
+    pdf["doc_id"] = range(len(pdf))
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    corpus = df.filter(F.col("doc_id") % 3 != 0)
+    # every 9th doc borrows a corpus text => true duplicate
+    donor = corpus.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("dt")
+    )
+    new = (
+        df.filter(F.col("doc_id") % 3 == 0)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 9 == 0) & F.col("dt").isNotNull(), F.col("dt")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    want = sorted(
+        (r["doc_id"], r["text"])
+        for r in exact_incremental_dedup(new, corpus).collect()
+    )
+    assert 0 < len(want) < new.count()  # planting actually removed rows
+    for m_bits, k in [(64, 1), (1024, 2), (1 << 16, 7)]:
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in bloom_incremental_dedup(
+                new, corpus, m_bits=m_bits, k=k
+            ).collect()
+        )
+        assert got == want, (m_bits, k)
+
+
+def test_mojibake_detect_and_fix(spark):
+    """Detector: fires once per mis-decoded char, silent on clean text
+    and on genuine accents. Fixer: inverts single AND double
+    mis-decoding, never touches clean/undecodable text."""
+    from language_identification_spark.functions.normalize import (
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    orig = "café résumé 你好"
+    moji1 = orig.encode("utf-8").decode("latin-1")
+    moji2 = moji1.encode("utf-8").decode("latin-1")
+    trap = "é¡"  # lead-range + continuation-range, NOT valid UTF-8
+    rows = [
+        (1, orig),
+        (2, moji1),
+        (3, moji2),
+        (4, "plain ascii"),
+        (5, trap),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (r["n"], r["f"])
+        for r in df.select(
+            "i",
+            mojibake_count(F.col("t")).alias("n"),
+            fix_mojibake(F.col("t")).alias("f"),
+        ).collect()
+    }
+    assert got[1] == (0, orig)  # genuine accents: no detection, no change
+    # one pair per mis-decoded char: 3 two-byte (é) + 2 three-byte (你好)
+    assert got[2] == (5, orig)
+    assert got[3][1] == orig  # double-encoded needs two rounds
+    assert got[4] == (0, "plain ascii")
+    assert got[5] == (1, trap)  # detector fires but bytes aren't UTF-8: untouched
+    assert got[6] == (None, None)
+    assert got[7] == (0, "")

@@ -939,3 +939,50 @@ def test_exact_incremental_dedup(spark):
 
     with _pytest.raises(ValueError):
         exact_incremental_dedup(new)
+
+
+def test_deterministic_shuffle(spark):
+    """Reproducible training-order shuffle: total permutation (every key
+    once, pos contiguous per shard), bit-stable across calls, salt
+    change reorders, shard = rank top bits, and shards are balanced
+    enough to be a real partition scheme."""
+    from language_identification_spark.operators.sampling import (
+        deterministic_shuffle,
+        shuffle_rank,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(df, n_shards=8, salt="e0").collect()
+    assert len(out) == 500
+    assert sorted(r["doc_id"] for r in out) == list(range(500))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # balanced within a loose bound (uniform hash, 500 rows / 8 shards)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) < 3 * min(sizes)
+
+    # bit-stable rerun; salt change produces a different permutation
+    again = deterministic_shuffle(df, n_shards=8, salt="e0").collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(again) == key(out)
+    other = deterministic_shuffle(df, n_shards=8, salt="e1").collect()
+    assert key(other) != key(out)
+
+    # shard-major (shard, pos) order equals global rank order
+    ranked = sorted(
+        df.select(
+            "doc_id", shuffle_rank(F.col("doc_id"), "e0").alias("r")
+        ).collect(),
+        key=lambda r: (r["r"], r["doc_id"]),
+    )
+    shuffled = sorted(out, key=lambda r: (r["shard"], r["pos"]))
+    assert [r["doc_id"] for r in ranked] == [r["doc_id"] for r in shuffled]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_shuffle(df, n_shards=0)
