@@ -754,6 +754,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("text") != F.col("_planted")).alias("was_fixed"),
         )
 
+    def script_mixing_profile(spark, sf):
+        # r5 net-new: per-doc script-mixing profile (functions/analysis.
+        # script_mixing) — mixed-script spam signal. Mixing is PLANTED
+        # natively: every 4th doc gains a Cyrillic tail, every 9th a
+        # Greek tail (both when doc_id%36==0). The oracle recomputes all
+        # counts from the shared *_DUCK class constants and the same
+        # fixed-order argmax CASE.
+        from language_identification_spark.functions.analysis import (
+            script_mixing,
+        )
+
+        d = _t(spark, sf, "documents")
+        planted = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" αλφα βητα")).otherwise(
+                F.lit("")
+            ),
+        )
+        cols = script_mixing(planted)
+        return d.select(
+            "doc_id", *[c.cast("long").alias(k) if k.startswith("n_") else c.alias(k) for k, c in cols.items()]
+        )
+
+    def vocab_coverage_curve(spark, sf):
+        # r5 net-new: token coverage of the top-k vocabulary
+        # (operators/vocab.vocab_coverage) — the tokenizer-sizing curve.
+        # The vocab table is cut to max(ks) with orderBy+limit BEFORE
+        # any window, so nothing corpus- or vocab-wide is ever sorted.
+        from language_identification_spark.operators.vocab import (
+            vocab_coverage,
+        )
+
+        return vocab_coverage(
+            _t(spark, sf, "documents"), text_col="text", ks=[10, 100, 1000]
+        )
+
+    def pr_sweep(spark, sf):
+        # r5 net-new: precision/recall/F1 threshold sweep (operators/
+        # eval.pr_threshold_sweep) over the shared q_score with
+        # lang='en' as the positive class — the quality-filter
+        # calibration curve. One corpus aggregation into 21 buckets;
+        # windows touch only the bucket table.
+        from language_identification_spark.functions.analysis import (
+            quality_score,
+        )
+        from language_identification_spark.operators.eval import (
+            pr_threshold_sweep,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("lang") == F.lit("en")).alias("is_pos"),
+            quality_score(F.col("text")).alias("score"),
+        )
+        return pr_threshold_sweep(d, "is_pos", "score", n_buckets=100)
+
     def corpus_shuffle(spark, sf):
         # r5 net-new: reproducible global training-order shuffle
         # (operators/sampling.deterministic_shuffle) — shard = top bits
@@ -1853,6 +1911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "mojibake_detect": mojibake_detect,
         "mojibake_fix": mojibake_fix,
+        "script_mixing_profile": script_mixing_profile,
+        "vocab_coverage_curve": vocab_coverage_curve,
+        "pr_sweep": pr_sweep,
         "corpus_shuffle": corpus_shuffle,
         "span_dedup": span_dedup,
         "domain_filter": domain_filter,
@@ -2023,6 +2084,21 @@ def oracle_sql() -> dict[str, str]:
         )
 
         return MOJIBAKE_CLASS
+
+    def _cjk_duck():
+        from language_identification_spark.functions.analysis import CJK_DUCK
+
+        return CJK_DUCK
+
+    def _cyr_duck():
+        from language_identification_spark.functions.analysis import CYR_DUCK
+
+        return CYR_DUCK
+
+    def _greek_duck():
+        from language_identification_spark.functions.analysis import GREEK_DUCK
+
+        return GREEK_DUCK
 
     from language_identification_spark.functions.html import (
         oracle_sql_exprs as _html_exprs,
@@ -2932,6 +3008,113 @@ def oracle_sql() -> dict[str, str]:
                  ELSE text END AS text,
             (doc_id % 6 = 0 AND regexp_matches(text, '[ea]')) AS was_fixed
           FROM documents
+        """,
+        # Interpolates the shared *_DUCK script classes (functions/
+        # analysis) so the two engines count identical char ranges.
+        "script_mixing_profile": f"""
+          WITH p AS (
+            SELECT doc_id, text
+              || (CASE WHEN doc_id % 4 = 0 THEN ' привет мир' ELSE '' END)
+              || (CASE WHEN doc_id % 9 = 0 THEN ' αλφα βητα' ELSE '' END)
+              AS t
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z]'))::BIGINT AS n_latin,
+              len(regexp_extract_all(t, '{_cjk_duck()}'))::BIGINT AS n_cjk,
+              len(regexp_extract_all(t, '{_cyr_duck()}'))::BIGINT
+                AS n_cyrillic,
+              len(regexp_extract_all(t, '{_greek_duck()}'))::BIGINT
+                AS n_greek
+            FROM p
+          ),
+          m AS (
+            SELECT *,
+              greatest(n_latin, n_cjk, n_cyrillic, n_greek) AS mx,
+              (n_latin + n_cjk + n_cyrillic + n_greek) AS tot
+            FROM c
+          )
+          SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_greek,
+            tot AS n_script_total,
+            CASE WHEN mx = 0 THEN 'none'
+                 WHEN n_latin = mx THEN 'latin'
+                 WHEN n_cjk = mx THEN 'cjk'
+                 WHEN n_cyrillic = mx THEN 'cyrillic'
+                 ELSE 'greek' END AS dominant_script,
+            CASE WHEN mx = 0 THEN 0.0
+                 ELSE round(mx::DOUBLE / tot, 6) END AS dominant_frac,
+            (mx > 0 AND mx * 10 < tot * 9) AS is_mixed
+          FROM m
+        """,
+        "vocab_coverage_curve": """
+          WITH words AS (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '[ \t\n]+'),
+              w -> w <> '')) AS word
+            FROM documents
+          ),
+          counts AS (
+            SELECT word, count(*)::BIGINT AS cnt FROM words GROUP BY word
+          ),
+          top AS (
+            SELECT word, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+            FROM counts QUALIFY rank <= 1000
+          ),
+          cum AS (
+            SELECT rank, sum(cnt) OVER (ORDER BY rank)::BIGINT AS cum
+            FROM top
+          ),
+          total AS (SELECT count(*)::BIGINT AS total_tokens FROM words)
+          SELECT k.k::BIGINT AS k,
+                 (SELECT max(cum) FROM cum WHERE rank <= k.k)::BIGINT
+                   AS covered_tokens,
+                 t.total_tokens,
+                 round((SELECT max(cum) FROM cum WHERE rank <= k.k)::DOUBLE
+                       / t.total_tokens, 6) AS coverage
+          FROM (SELECT unnest([10, 100, 1000]) AS k) k, total t
+          ORDER BY k
+        """,
+        # F1 is computed from the UNROUNDED precision/recall in both
+        # engines; rounding happens only at output (matches
+        # pr_threshold_sweep exactly).
+        "pr_sweep": f"""
+          WITH s AS (
+            SELECT (lang = 'en') AS y, {_Q_SCORE_SQL} AS score
+            FROM documents
+          ),
+          bk AS (
+            SELECT least(greatest(floor(score * 100), 0), 100)::BIGINT AS b, y
+            FROM s
+          ),
+          per AS (
+            SELECT b, count(*)::BIGINT AS n, sum(y::INT)::BIGINT AS n_pos
+            FROM bk GROUP BY b
+          ),
+          cum AS (
+            SELECT b,
+              sum(n) OVER w::BIGINT AS n_pred_pos,
+              sum(n_pos) OVER w::BIGINT AS tp
+            FROM per
+            WINDOW w AS (ORDER BY b DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ),
+          tot AS (SELECT sum(n_pos)::BIGINT AS total_pos FROM per)
+          SELECT round(c.b / 100, 6) AS threshold,
+                 c.n_pred_pos, c.tp,
+                 round(c.tp::DOUBLE / c.n_pred_pos, 6) AS precision,
+                 round(c.tp::DOUBLE / t.total_pos, 6) AS recall,
+                 CASE WHEN (c.tp::DOUBLE / c.n_pred_pos)
+                           + (c.tp::DOUBLE / t.total_pos) > 0
+                      THEN round(
+                        2 * (c.tp::DOUBLE / c.n_pred_pos)
+                          * (c.tp::DOUBLE / t.total_pos)
+                        / ((c.tp::DOUBLE / c.n_pred_pos)
+                           + (c.tp::DOUBLE / t.total_pos)), 6)
+                      ELSE 0.0 END AS f1
+          FROM cum c, tot t
+          ORDER BY threshold
         """,
         "corpus_shuffle": """
           WITH r AS (

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "bloom_dedup_incremental",
     "corpus_shuffle",
     "mojibake_fix",
+    "script_mixing_profile",
+    "vocab_coverage_curve",
+    "pr_sweep",
     "minhash_near_dups",
     "dedup_incremental",
     "dedup_components",

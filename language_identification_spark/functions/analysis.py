@@ -83,3 +83,41 @@ def quality_score(col: Column) -> Column:
     symbol_ratio = F.regexp_count(col, F.lit("[#!$%&*+=@^~|<>]")) / n
     score = alpha_ratio * 0.6 + F.least(space_ratio * 4, F.lit(1.0)) * 0.3 + (1 - F.least(symbol_ratio * 10, F.lit(1.0))) * 0.1
     return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def script_mixing(col: Column) -> dict[str, Column]:
+    """Per-doc script-mixing profile — the mixed-script spam signal
+    (keyword-stuffed / homoglyph-obfuscated pages mix scripts; genuine
+    prose is script-dominant). Columns: the four script letter counts,
+    their total, the dominant script (ties broken in the fixed order
+    latin > cjk > cyrillic > greek — the SAME CASE order as the DuckDB
+    twin so the argmax cannot drift), its fraction (round 6; 0.0 for
+    scriptless docs, dominant 'none'), and ``is_mixed`` = letters exist
+    but the dominant script holds < 90 %.
+
+    All native ``regexp_count`` — one codegen pass, no shuffle, fuses
+    into the scan like the other quality columns."""
+    sc = script_counts(col)
+    n_latin, n_cjk = sc["n_latin"], sc["n_cjk"]
+    n_cyr, n_greek = sc["n_cyrillic"], sc["n_greek"]
+    mx = F.greatest(n_latin, n_cjk, n_cyr, n_greek)
+    dominant = (
+        F.when(mx == 0, F.lit("none"))
+        .when(n_latin == mx, F.lit("latin"))
+        .when(n_cjk == mx, F.lit("cjk"))
+        .when(n_cyr == mx, F.lit("cyrillic"))
+        .otherwise(F.lit("greek"))
+    )
+    frac = F.when(mx == 0, F.lit(0.0)).otherwise(
+        F.round(mx.cast("double") / (n_latin + n_cjk + n_cyr + n_greek), 6)
+    )
+    return {
+        "n_latin": n_latin,
+        "n_cjk": n_cjk,
+        "n_cyrillic": n_cyr,
+        "n_greek": n_greek,
+        "n_script_total": n_latin + n_cjk + n_cyr + n_greek,
+        "dominant_script": dominant,
+        "dominant_frac": frac,
+        "is_mixed": (mx > 0) & (mx * 10 < (n_latin + n_cjk + n_cyr + n_greek) * 9),
+    }

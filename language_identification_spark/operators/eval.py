@@ -132,3 +132,65 @@ def macro_f1(df: DataFrame, label_col: str = "lang", pred_col: str = "lang_pred"
         F.avg("recall").alias("macro_recall"),
         F.avg("f1").alias("macro_f1"),
     )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    label_col: str = "is_pos",
+    score_col: str = "score",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """(threshold, n_pred_pos, tp, precision, recall, f1) for every
+    occupied score bucket — the calibration curve read before fixing a
+    quality-filter threshold ("keep docs with score >= t": what
+    fraction kept is truly good, what fraction of good is kept).
+
+    Distributed ROC discipline: ONE map-side-combined corpus aggregation
+    into <= n_buckets+1 buckets (thresholds live on bucket boundaries,
+    b/n_buckets, so bucket membership IS threshold membership; scores
+    outside [0,1] clamp into the end buckets). The cumulative-from-the-
+    top sums then run over a table bounded by the CALLER'S PARAMETER,
+    never by data volume — an integer driver-side fold (the IVF-
+    centroid / vocab-curve bounded-collect discipline; no unpartitioned
+    WindowExec in any plan). Integer cumsums are exact in Python; all
+    FLOAT math (division, round 6) stays in Spark expressions so the
+    FULL gate's hash cannot drift between engines on rounding rules."""
+    b = F.floor(F.col(score_col) * n_buckets).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets))
+    per = sorted(
+        (
+            df.select(b.alias("b"), F.col(label_col).cast("long").alias("y"))
+            .groupBy("b")
+            .agg(F.count("*").alias("n"), F.sum("y").alias("n_pos"))
+            .collect()
+        ),
+        key=lambda r: -r["b"],
+    )
+    total_pos = sum(r["n_pos"] for r in per)
+    rows, c_n, c_pos = [], 0, 0
+    for r in per:
+        c_n += r["n"]
+        c_pos += r["n_pos"]
+        rows.append((r["b"], c_n, c_pos, total_pos))
+    cum = df.sparkSession.createDataFrame(
+        rows, "b long, n_pred_pos long, tp long, total_pos long"
+    )
+    prec = F.col("tp") / F.col("n_pred_pos")
+    rec = F.col("tp") / F.col("total_pos")
+    return (
+        cum
+        .select(
+            F.round(F.col("b") / n_buckets, 6).alias("threshold"),
+            "n_pred_pos",
+            "tp",
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(
+                F.when(
+                    prec + rec > 0, 2 * prec * rec / (prec + rec)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

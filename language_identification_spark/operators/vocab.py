@@ -1,0 +1,89 @@
+"""Vocabulary statistics for tokenizer training — how much of the
+corpus token stream a top-K vocabulary covers (the curve you read
+before fixing a BPE/WordPiece vocab size, and the OOV-rate estimate
+for any proposed K).
+
+Net-new operator (task brief's training-data-pipeline family; no
+reference counterpart).
+
+Scale shape: the only corpus-sized stage is one explode + map-side-
+combined word count (the same shuffle class as every vocab gate). The
+curve itself NEVER windows the full vocabulary (web-scale vocab is
+billions of junk-tail tokens): the vocab table is cut to the largest
+requested K with orderBy+limit first — the same bounded top-K shape as
+``vocab_topk`` — and the cumulative sum runs over those ≤ max(ks) rows
+only. Total token count rides a separate 1-row aggregate, joined by
+literal-true cross join (1×K rows, broadcast by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """(k, covered_tokens, total_tokens, coverage) for each requested
+    vocabulary size ``k``: the fraction of all corpus token occurrences
+    written with the ``k`` most frequent words (ties broken
+    lexicographically, the repo-wide top-k discipline). A ``k`` larger
+    than the true vocabulary covers what the full vocabulary covers.
+
+    Tokenization is pinned to the whitespace discipline of
+    ``token_count_ws`` (lowercased, split on ``[ \\t\\n]+``, empties
+    dropped) so the count and the coverage numerator agree by
+    construction."""
+    ks = sorted(set(ks or [100, 1000, 10000]))
+    if ks[0] <= 0:
+        raise ValueError(f"ks must be positive, got {ks}")
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[ \t\n]+"),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(ks[-1])
+    # The top table is ≤ max(ks) rows BY CONSTRUCTION (tokenizer vocab
+    # sizes, not corpus sizes), so the cumulative sum is a bounded
+    # driver-side fold — the same discipline as the IVF centroid
+    # ranking: no unpartitioned WindowExec in the plan, and the collect
+    # is capped by the caller's own parameter, never by data volume.
+    top_counts = [
+        r["cnt"] for r in top.collect()
+    ]  # already in (cnt desc, word asc) order
+    covered = []
+    run = 0
+    for c in top_counts:
+        run += c
+        covered.append(run)
+    spark = df.sparkSession
+    curve = spark.createDataFrame(
+        [
+            (k, covered[min(k, len(covered)) - 1] if covered else 0)
+            for k in ks
+        ],
+        "k long, covered_tokens long",
+    )
+    # total occurrences = Σ cnt over the counts table (one extra 1-row
+    # aggregate over the already-shuffled counts — cheaper than a second
+    # corpus-wide explode)
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    return (
+        curve.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -1086,3 +1086,80 @@ def test_mojibake_detect_and_fix(spark):
     assert got[5] == (1, trap)  # detector fires but bytes aren't UTF-8: untouched
     assert got[6] == (None, None)
     assert got[7] == (0, "")
+
+
+def test_script_mixing_cases(spark):
+    """Hand-pinned profiles: mixed latin+cyrillic, pure-script,
+    scriptless, CJK-dominant, and the fixed-order argmax tie."""
+    from language_identification_spark.functions.analysis import script_mixing
+
+    rows = [
+        (1, "hello мир"),   # latin 5, cyr 3 -> mixed
+        (2, "hello"),       # pure latin
+        (3, "123 !!!"),     # scriptless
+        (4, "你好 ok"),      # cjk 2 vs latin 2 -> tie: latin wins (order)
+        (5, "你好你好 ok"),  # cjk 4 dominant over latin 2
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    cols = script_mixing(F.col("t"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i", *[c.alias(k) for k, c in cols.items()]
+        ).collect()
+    }
+    assert (got[1]["dominant_script"], got[1]["dominant_frac"], got[1]["is_mixed"]) == ("latin", 0.625, True)
+    assert (got[2]["dominant_script"], got[2]["dominant_frac"], got[2]["is_mixed"]) == ("latin", 1.0, False)
+    assert (got[3]["dominant_script"], got[3]["dominant_frac"], got[3]["is_mixed"]) == ("none", 0.0, False)
+    assert got[4]["dominant_script"] == "latin"  # tie-break order pin
+    assert (got[5]["dominant_script"], got[5]["is_mixed"]) == ("cjk", True)
+    assert got[1]["n_latin"] == 5 and got[1]["n_cyrillic"] == 3
+
+
+def test_vocab_coverage_known_values(spark):
+    """Tiny corpus with a hand-computed curve, incl. k beyond the true
+    vocabulary (coverage saturates at 1.0) and the lexicographic
+    tie-break between equal-count words."""
+    from language_identification_spark.operators.vocab import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "i long, text string"
+    )
+    got = {
+        r["k"]: r
+        for r in vocab_coverage(df, text_col="text", ks=[1, 2, 10]).collect()
+    }
+    assert (got[1]["covered_tokens"], got[1]["total_tokens"], got[1]["coverage"]) == (2, 5, 0.4)
+    assert (got[2]["covered_tokens"], got[2]["coverage"]) == (4, 0.8)
+    assert (got[10]["covered_tokens"], got[10]["coverage"]) == (5, 1.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_coverage(df, ks=[0, 5])
+
+
+def test_pr_threshold_sweep_known_values(spark):
+    """Hand-computed 5-doc curve at 10 buckets: thresholds on bucket
+    boundaries, cumulative-from-the-top tp/pred counts, P/R/F1."""
+    from language_identification_spark.operators.eval import pr_threshold_sweep
+
+    rows = [
+        (True, 0.95),
+        (True, 0.85),
+        (False, 0.80),
+        (True, 0.30),
+        (False, 0.10),
+    ]
+    df = spark.createDataFrame(rows, "is_pos boolean, score double")
+    got = {
+        r["threshold"]: r
+        for r in pr_threshold_sweep(df, "is_pos", "score", n_buckets=10).collect()
+    }
+    # 0.3*10 is exactly 3.0 in IEEE doubles -> threshold 0.3 (pinned)
+    assert set(got) == {0.9, 0.8, 0.3, 0.1}
+    assert (got[0.9]["n_pred_pos"], got[0.9]["tp"], got[0.9]["precision"], got[0.9]["recall"]) == (1, 1, 1.0, 0.333333)
+    assert (got[0.8]["n_pred_pos"], got[0.8]["tp"], got[0.8]["precision"], got[0.8]["recall"]) == (3, 2, 0.666667, 0.666667)
+    assert got[0.8]["f1"] == 0.666667
+    assert (got[0.3]["n_pred_pos"], got[0.3]["tp"], got[0.3]["precision"], got[0.3]["recall"]) == (4, 3, 0.75, 1.0)
+    assert (got[0.1]["n_pred_pos"], got[0.1]["tp"], got[0.1]["precision"]) == (5, 3, 0.6)
