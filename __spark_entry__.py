@@ -1817,6 +1817,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dedup_components(pairs).select("id", "canonical_id")
 
+    def near_dedup_canonical(spark, sf):
+        # r5 net-new COMPOSITION gate: the full batch near-dedup chain a
+        # production pipeline runs — minhash_near_duplicates (LSH +
+        # exact-Jaccard verify) → dedup_components (min-label clusters)
+        # → canonical_documents (drop all but the min-id survivor per
+        # cluster). Same 3-clique planting as the dedup_components gate,
+        # so exactly one of each planted triple must survive and every
+        # un-perturbed unique doc passes through. FULL oracle: exact
+        # pairs + recursive closure + NOT EXISTS on the drop list.
+        d = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+        )
+        p1 = d.select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        p2 = d.select(
+            (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" qq")).alias("text"),
+        )
+        aug = d.unionAll(p1).unionAll(p2)
+        pairs = dedup.minhash_near_duplicates(aug, n=8, threshold=0.8)
+        return dedup.canonical_documents(aug, pairs).select("doc_id")
+
     def simhash_sigs(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
         return dedup.simhash_64(d)
@@ -1945,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": minhash_near_dups,
         "dedup_incremental": dedup_incremental,
         "dedup_components": dedup_components,
+        "near_dedup_canonical": near_dedup_canonical,
         "simhash_sigs": simhash_sigs,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -3625,6 +3652,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
           )
           SELECT id, min(lab) AS canonical_id FROM reach GROUP BY id
+        """,
+        # Same construction through the recursive closure, then survivor
+        # selection: drop every component member that is not its
+        # component's min id.
+        "near_dedup_canonical": """
+          WITH RECURSIVE aug AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000000, text || ' zz'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000000000, text || ' qq'
+            FROM documents WHERE doc_id % 5 = 0
+          ),
+          sh AS (
+            SELECT DISTINCT s.doc_id AS id, substr(s.text, t.i::INT, 8) AS shingle
+            FROM aug s, LATERAL unnest(range(1, len(s.text) - 7 + 1)) AS t(i)
+          ),
+          sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sz sa ON sa.id = i.id_a
+            JOIN sz sb ON sb.id = i.id_b
+            WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.8
+          ),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+          ),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach AS (
+            SELECT id, id AS lab FROM nodes
+            UNION
+            SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+          ),
+          comp AS (SELECT id, min(lab) AS canon FROM reach GROUP BY id),
+          dropped AS (SELECT id FROM comp WHERE id <> canon)
+          SELECT a.doc_id FROM aug a
+          WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = a.doc_id)
         """,
         "dedup_incremental": """
           WITH corpus AS (

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "minhash_near_dups",
     "dedup_incremental",
     "dedup_components",
+    "near_dedup_canonical",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
