@@ -793,6 +793,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), text_col="text", ks=[10, 100, 1000]
         )
 
+    def bpe_merge_pairs(spark, sf):
+        # r5 net-new: BPE first-merge statistics (operators/vocab.
+        # bpe_pair_stats) — adjacent-symbol pair counts over word TYPES
+        # weighted by frequency, end-of-word marker included (Sennrich
+        # et al. 2016). Top-50 with the (count desc, s1, s2) tie-break
+        # in both engines.
+        from language_identification_spark.operators.vocab import (
+            bpe_pair_stats,
+        )
+
+        return bpe_pair_stats(
+            _t(spark, sf, "documents"), text_col="text", top_k=50
+        )
+
     def pr_sweep(spark, sf):
         # r5 net-new: precision/recall/F1 threshold sweep (operators/
         # eval.pr_threshold_sweep) over the shared q_score with
@@ -1939,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_fix": mojibake_fix,
         "script_mixing_profile": script_mixing_profile,
         "vocab_coverage_curve": vocab_coverage_curve,
+        "bpe_merge_pairs": bpe_merge_pairs,
         "pr_sweep": pr_sweep,
         "corpus_shuffle": corpus_shuffle,
         "span_dedup": span_dedup,
@@ -3102,6 +3117,29 @@ def oracle_sql() -> dict[str, str]:
                        / t.total_tokens, 6) AS coverage
           FROM (SELECT unnest([10, 100, 1000]) AS k) k, total t
           ORDER BY k
+        """,
+        "bpe_merge_pairs": """
+          WITH words AS (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '[ \t\n]+'),
+              w -> w <> '')) AS word
+            FROM documents
+          ),
+          types AS (
+            SELECT word, count(*)::BIGINT AS freq FROM words GROUP BY word
+          ),
+          syms AS (
+            SELECT freq, list_append(string_split(word, ''), '</w>') AS s
+            FROM types
+          ),
+          pairs AS (
+            SELECT freq, s[t.i] AS s1, s[t.i + 1] AS s2
+            FROM syms, LATERAL unnest(range(1, len(s))) AS t(i)
+          )
+          SELECT s1, s2, sum(freq)::BIGINT AS pair_count
+          FROM pairs GROUP BY s1, s2
+          ORDER BY pair_count DESC, s1 ASC, s2 ASC
+          LIMIT 50
         """,
         # F1 is computed from the UNROUNDED precision/recall in both
         # engines; rounding happens only at output (matches

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "script_mixing_profile",
     "vocab_coverage_curve",
     "pr_sweep",
+    "bpe_merge_pairs",
     "minhash_near_dups",
     "dedup_incremental",
     "dedup_components",

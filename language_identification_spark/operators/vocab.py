@@ -87,3 +87,59 @@ def vocab_coverage(
         )
         .orderBy("k")
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """(s1, s2, pair_count) — the ``top_k`` most frequent adjacent
+    symbol pairs over the corpus, the statistic behind BPE's first
+    merge (Sennrich et al. 2016: count pairs over word TYPES weighted
+    by word frequency, with an end-of-word marker so 'st' at word end
+    and mid-word are distinct symbols).
+
+    Scale shape: the corpus collapses to (word, freq) FIRST (one
+    map-side-combined count — the same shuffle every vocab gate pays),
+    so the pair explode runs over distinct word types, not the token
+    stream; web corpora have orders of magnitude fewer types than
+    tokens. The pair table is alphabet²-bounded, cut with
+    orderBy+limit (no window). Ties break on (count desc, s1, s2) —
+    the repo-wide deterministic top-k discipline."""
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[ \t\n]+"),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    )
+    types = words.groupBy("word").agg(F.count("*").alias("freq"))
+    syms = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+    ).alias("syms")
+    pairs = (
+        types.select("freq", syms)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.col("syms")[i].alias("s1"),
+                        F.col("syms")[i + 1].alias("s2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("freq", "p.s1", "p.s2")
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+        .limit(top_k)
+    )

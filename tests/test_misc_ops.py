@@ -1163,3 +1163,34 @@ def test_pr_threshold_sweep_known_values(spark):
     assert got[0.8]["f1"] == 0.666667
     assert (got[0.3]["n_pred_pos"], got[0.3]["tp"], got[0.3]["precision"], got[0.3]["recall"]) == (4, 3, 0.75, 1.0)
     assert (got[0.1]["n_pred_pos"], got[0.1]["tp"], got[0.1]["precision"]) == (5, 3, 0.6)
+
+
+def test_bpe_pair_stats_known_values(spark):
+    """Hand-computed Sennrich step-1 counts: word types weighted by
+    frequency, end-of-word marker distinct from mid-word pairs."""
+    from language_identification_spark.operators.vocab import bpe_pair_stats
+
+    # corpus tokens: "low" x2, "lower" x1  ->  types low:2, lower:1
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, "lower")], "i long, text string"
+    )
+    got = {
+        (r["s1"], r["s2"]): r["pair_count"]
+        for r in bpe_pair_stats(df, top_k=100).collect()
+    }
+    assert got[("l", "o")] == 3
+    assert got[("o", "w")] == 3
+    assert got[("w", "</w>")] == 2      # 'low' ends the word
+    assert got[("w", "e")] == 1          # 'lower' continues
+    assert got[("e", "r")] == 1
+    assert got[("r", "</w>")] == 1
+    # single-char word: exactly one pair with the marker
+    one = bpe_pair_stats(
+        spark.createDataFrame([(1, "a")], "i long, text string")
+    ).collect()
+    assert [(r["s1"], r["s2"], r["pair_count"]) for r in one] == [("a", "</w>", 1)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_pair_stats(df, top_k=0)
