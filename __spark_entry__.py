@@ -793,6 +793,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), text_col="text", ks=[10, 100, 1000]
         )
 
+    def winnowing(spark, sf):
+        # r5 net-new: winnowing fingerprints (functions/analysis.
+        # winnow_fingerprints, Schleimer et al. 2003) — k=8, w=4 over
+        # every 7th doc. The oracle re-implements the identical integer
+        # pipeline (rolling k-gram hash -> pos-packed BIGINT window min
+        # -> distinct -> decode) in DuckDB list ops.
+        from language_identification_spark.functions.analysis import (
+            winnow_fingerprints,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+        return d.select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias(
+                "e"
+            ),
+        ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.fp").alias("fp"))
+
+    def doc_sentences(spark, sf):
+        # r5 net-new: pinned sentence splitting (functions/text.
+        # sentences) — posexplode so each sentence carries its in-doc
+        # index. Every 7th doc only (the chunking-gate slice), keeping
+        # the gate result compact.
+        from language_identification_spark.functions.text import (
+            sentences as sent_fn,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+        return d.select(
+            "doc_id", F.posexplode(sent_fn(F.col("text")))
+        ).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("sent_idx"),
+            F.col("col").alias("sentence"),
+        )
+
     def bpe_merge_pairs(spark, sf):
         # r5 net-new: BPE first-merge statistics (operators/vocab.
         # bpe_pair_stats) — adjacent-symbol pair counts over word TYPES
@@ -1953,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_fix": mojibake_fix,
         "script_mixing_profile": script_mixing_profile,
         "vocab_coverage_curve": vocab_coverage_curve,
+        "doc_sentences": doc_sentences,
+        "winnowing": winnowing,
         "bpe_merge_pairs": bpe_merge_pairs,
         "pr_sweep": pr_sweep,
         "corpus_shuffle": corpus_shuffle,
@@ -2141,6 +2179,11 @@ def oracle_sql() -> dict[str, str]:
         from language_identification_spark.functions.analysis import GREEK_DUCK
 
         return GREEK_DUCK
+
+    def _sentence_re():
+        from language_identification_spark.functions.text import SENTENCE_RE
+
+        return SENTENCE_RE
 
     from language_identification_spark.functions.html import (
         oracle_sql_exprs as _html_exprs,
@@ -3117,6 +3160,60 @@ def oracle_sql() -> dict[str, str]:
                        / t.total_tokens, 6) AS coverage
           FROM (SELECT unnest([10, 100, 1000]) AS k) k, total t
           ORDER BY k
+        """,
+        # Identical integer pipeline in DuckDB list ops (k=8, w=4,
+        # mod 1e9+7, pos packed under the hash with 2^31; // and % are
+        # exact on BIGINT in both engines).
+        "winnowing": """
+          WITH d AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''),
+                                  c -> ascii(c)::BIGINT) AS cps
+            FROM documents WHERE doc_id % 7 = 0
+          ),
+          kh AS (
+            SELECT doc_id,
+              list_transform(range(0, len(cps) - 8 + 1),
+                i -> list_reduce(
+                       list_prepend(0::BIGINT, cps[i + 1 : i + 8]),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+            FROM d
+            WHERE len(cps) >= 8
+          ),
+          enc AS (
+            SELECT doc_id,
+              list_transform(range(0, len(hs)),
+                i -> hs[i + 1] * 2147483648 + (2147483648 - 1 - i)) AS es
+            FROM kh
+          ),
+          wins AS (
+            SELECT doc_id,
+              list_distinct(
+                list_transform(range(0, greatest(len(es) - 4, 0) + 1),
+                  s -> list_min(es[s + 1 : s + 4]))) AS sel
+            FROM enc
+          )
+          SELECT doc_id,
+                 (2147483648 - 1 - (u.e % 2147483648))::BIGINT AS pos,
+                 (u.e // 2147483648)::BIGINT AS fp
+          FROM wins, LATERAL unnest(sel) AS u(e)
+        """,
+        # Shares functions/text.SENTENCE_RE so the extraction pattern
+        # cannot drift between engines.
+        "doc_sentences": f"""
+          WITH s AS (
+            SELECT doc_id,
+              list_filter(
+                list_transform(
+                  regexp_extract_all(text, '{_sentence_re()}'),
+                  x -> trim(x)),
+                x -> x <> '') AS sents
+            FROM documents WHERE doc_id % 7 = 0
+          )
+          SELECT doc_id,
+                 (t.i - 1)::BIGINT AS sent_idx,
+                 sents[t.i] AS sentence
+          FROM s, LATERAL unnest(range(1, len(sents) + 1)) AS t(i)
         """,
         "bpe_merge_pairs": """
           WITH words AS (

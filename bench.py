@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "vocab_coverage_curve",
     "pr_sweep",
     "bpe_merge_pairs",
+    "doc_sentences",
+    "winnowing",
     "minhash_near_dups",
     "dedup_incremental",
     "dedup_components",

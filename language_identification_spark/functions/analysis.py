@@ -121,3 +121,61 @@ def script_mixing(col: Column) -> dict[str, Column]:
         "dominant_frac": frac,
         "is_mixed": (mx > 0) & (mx * 10 < (n_latin + n_cjk + n_cyr + n_greek) * 9),
     }
+
+
+# Winnowing (Schleimer et al. 2003, the MOSS fingerprinting scheme):
+# positions are packed under the hash so one BIGINT min per window picks
+# (min hash, then RIGHTMOST position — the paper's density rule) with
+# pure integer arithmetic both engines share. h < 1e9+7 and pos < 2^31,
+# so h*2^31 + offset stays far inside BIGINT.
+WINNOW_POS_SHIFT = 1 << 31
+
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """ARRAY<STRUCT<pos, fp>> — winnowing document fingerprints: the
+    rolling k-gram hash minimum of every w-window, deduplicated. The
+    local-fingerprint guarantee: any shared substring of length
+    >= w+k-1 between two documents yields at least one IDENTICAL
+    (fp) selection in both, so matching fingerprints localize copied
+    spans (doc_fingerprint's whole-doc hash can only say "same doc").
+
+    All native HOFs over one codepoint array — zero Python, zero
+    shuffle, O(n·k) per doc. Hash = the repo's cross-engine rolling
+    hash ((acc*31+cp) mod 1e9+7, as in doc_fingerprint), so the DuckDB
+    twin is bit-exact. Docs shorter than k fingerprint to []; docs with
+    fewer than w k-grams yield the single global minimum (one window).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    cps = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    n = F.size(cps)
+    m = n - k + 1  # number of k-grams
+    kh = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.aggregate(
+            F.slice(cps, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+        ),
+    )
+    shift = F.lit(WINNOW_POS_SHIFT)
+    enc = F.transform(
+        kh, lambda h, i: h * shift + (shift - 1 - i)
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - F.lit(w), F.lit(0))),
+        lambda s: F.array_min(F.slice(enc, s + 1, w)),
+    )
+    sel = F.array_distinct(wins)
+    # decode with exact integer ops only: e exceeds double's 2^53 exact
+    # range, so / would corrupt fp — shiftright/% are exact on BIGINT
+    decoded = F.transform(
+        sel,
+        lambda e: F.struct(
+            (shift - 1 - e % shift).cast("long").alias("pos"),
+            F.shiftright(e, 31).cast("long").alias("fp"),
+        ),
+    )
+    return F.when(m >= 1, decoded).otherwise(
+        F.array().cast("array<struct<pos:bigint,fp:bigint>>")
+    )

@@ -526,3 +526,27 @@ def py_repetition_features(toks: list[str], n_chars: int) -> dict[str, float]:
 def py_char_ngrams(text: str, n: int, reference_pad: bool = True) -> list[str]:
     t = ("_" * (n - 1) + text + "_") if reference_pad else text
     return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+
+# Sentence boundary in the Java ∩ RE2 dialect (no lookbehind, which RE2
+# lacks): a sentence is a maximal run of non-terminators plus its
+# trailing terminator run. Both engines extract the SAME spans with
+# regexp_extract_all, so the gate is byte-exact.
+SENTENCE_RE = "[^.!?]+[.!?]*"
+
+
+def sentences(col: Column) -> Column:
+    """ARRAY<STRING> of sentences: regexp-extracted terminator-delimited
+    spans, space-trimmed, empties dropped. A pinned lightweight splitter
+    (the pre-chunking step for RAG/packing pipelines that want sentence
+    alignment rather than fixed token strides) — NOT a linguistic
+    segmenter: abbreviations ("e.g.") split, by design, identically in
+    both engines. Pure codegen (one regexp pass + array HOFs), fuses
+    into the scan."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(col, F.lit(SENTENCE_RE), F.lit(0)),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )

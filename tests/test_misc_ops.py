@@ -1194,3 +1194,83 @@ def test_bpe_pair_stats_known_values(spark):
 
     with _pytest.raises(ValueError):
         bpe_pair_stats(df, top_k=0)
+
+
+def test_sentences_cases(spark):
+    """Pinned splitter semantics: terminator runs stay attached, no
+    terminator -> one sentence, leading space trimmed, empty/None safe."""
+    from language_identification_spark.functions.text import sentences
+
+    rows = [
+        (1, "Hi!! Ok. Done"),
+        (2, "no terminator"),
+        (3, ""),
+        (4, "a. b? c!"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["s"] for r in df.select("i", sentences(F.col("t")).alias("s")).collect()}
+    assert got[1] == ["Hi!!", "Ok.", "Done"]
+    assert got[2] == ["no terminator"]
+    assert got[3] == []
+    assert got[4] == ["a.", "b?", "c!"]
+
+
+def test_winnow_fingerprints_matches_pure_python(spark):
+    """Winnowing vs an independent pure-Python implementation of the
+    paper's rule (min hash per window, rightmost on ties), plus the
+    guarantee pins: short docs -> [], sub-window docs -> global min,
+    and a shared >= w+k-1 substring yields a shared fingerprint."""
+    from language_identification_spark.functions.analysis import (
+        FINGERPRINT_MOD,
+        winnow_fingerprints,
+    )
+
+    def py_winnow(t, k, w):
+        if len(t) < k:
+            return []
+        hs = []
+        for i in range(len(t) - k + 1):
+            acc = 0
+            for ch in t[i : i + k]:
+                acc = (acc * 31 + ord(ch)) % FINGERPRINT_MOD
+            hs.append(acc)
+        sel = set()
+        n_win = max(len(hs) - w, 0) + 1
+        for s in range(n_win):
+            win = hs[s : s + w]
+            best, bpos = None, None
+            for j, h in enumerate(win):
+                if best is None or h <= best:  # <= => rightmost min
+                    best, bpos = h, s + j
+            sel.add((bpos, best))
+        return sorted(sel)
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaaaaaaaaaaa"),          # constant hashes: tie-break matters
+        (3, "short"),                 # < k -> []
+        (4, "abcdefgh"),              # exactly one k-gram
+        (5, "abcdefghij"),            # fewer k-grams than w
+        (6, ""),
+    ]
+    k, w = 8, 4
+    df = spark.createDataFrame(texts, "i long, t string")
+    got = {
+        r["i"]: sorted((e["pos"], e["fp"]) for e in r["fps"])
+        for r in df.select(
+            "i", winnow_fingerprints(F.col("t"), k=k, w=w).alias("fps")
+        ).collect()
+    }
+    for i, t in texts:
+        assert got[i] == py_winnow(t, k, w), (i, t)
+    # local-fingerprint guarantee: shared 16-char substring (>= w+k-1=11)
+    shared = "zqxwvutsrqponmlk"
+    a, b = "AAA " + shared + " BBB", "CC " + shared + " DDDD"
+    fa = {e["fp"] for r in spark.createDataFrame([(a,)], "t string").select(winnow_fingerprints(F.col("t"), k=k, w=w).alias("f")).collect() for e in r["f"]}
+    fb = {e["fp"] for r in spark.createDataFrame([(b,)], "t string").select(winnow_fingerprints(F.col("t"), k=k, w=w).alias("f")).collect() for e in r["f"]}
+    assert fa & fb, "shared substring must share a fingerprint"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(F.col("t"), k=0)
