@@ -1129,6 +1129,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return B.bloom_incremental_dedup(new, corpus, m_bits=1024, k=2)
 
+    def bloom_para_scrub(spark, sf):
+        # r5 net-new: Dolma's paragraph-level Bloom pass (operators/
+        # bloom.bloom_paragraph_scrub) — drop from incoming docs every
+        # non-empty line already present in the corpus, rebuild in
+        # order. Planted: every 3rd new doc appends a full corpus
+        # neighbor's text, whose lines must all vanish. Filter is
+        # UNDERSIZED (m=2048, k=2) so the false-positive verify path
+        # runs; the NOT-EXISTS oracle is hash-independent (no false
+        # negatives + exact verify).
+        from language_identification_spark.operators import bloom as B
+
+        d = _t(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") % 10 != 3)
+        donor = corpus.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").alias("donor_text"),
+        )
+        new = (
+            d.filter(F.col("doc_id") % 10 == 3)
+            .select("doc_id", "text")
+            .join(donor, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") % 30 == 3)
+                    & F.col("donor_text").isNotNull(),
+                    F.concat("text", F.lit("\n"), "donor_text"),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        return B.bloom_paragraph_scrub(new, corpus, m_bits=2048, k=2)
+
     def sequence_packing(spark, sf):
         # r5 net-new: GPT-style concatenate-and-slice packing of the
         # per-shard (source) token stream into 256-token training
@@ -2002,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_exact_incremental": dedup_exact_incremental,
         "bloom_dedup_incremental": bloom_dedup_incremental,
+        "bloom_para_scrub": bloom_para_scrub,
         "sequence_packing": sequence_packing,
         "doc_chunks": doc_chunks,
         "snapshot_diff": snapshot_diff,
@@ -3480,6 +3515,51 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT n.doc_id, n.text FROM nw n
           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+        """,
+        # Hash-independent like bloom_dedup_incremental: kept line =
+        # empty (never probed) or absent from the corpus line set.
+        "bloom_para_scrub": """
+          WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+          ),
+          cp AS (
+            SELECT DISTINCT p FROM (
+              SELECT unnest(string_split(text, chr(10))) AS p FROM corpus
+            ) WHERE len(p) > 0
+          ),
+          nw AS (
+            SELECT b.doc_id,
+              CASE WHEN b.doc_id % 30 = 3 AND d.text IS NOT NULL
+                   THEN b.text || chr(10) || d.text
+                   ELSE b.text END AS text
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3) b
+            LEFT JOIN corpus d ON d.doc_id = b.doc_id + 1
+          ),
+          l AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM nw
+          ),
+          kept AS (
+            SELECT * FROM l
+            WHERE len(line) = 0
+               OR NOT EXISTS (SELECT 1 FROM cp WHERE cp.p = l.line)
+          ),
+          agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id
+          ),
+          tot AS (
+            SELECT doc_id,
+                   len(string_split(text, chr(10)))::BIGINT AS n_paras
+            FROM nw
+          )
+          SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_paras,
+                 (t.n_paras - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+          FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         # Generated from the same code the Spark queries run
         # (packing.pack_sequences_sql / chunk_documents_sql /

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_lines",
     "bloom_dedup_incremental",
+    "bloom_para_scrub",
     "corpus_shuffle",
     "mojibake_fix",
     "script_mixing_profile",

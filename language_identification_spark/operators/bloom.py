@@ -186,3 +186,124 @@ def bloom_incremental_dedup(
         .select(*cols)
     )
     return definite_new.unionAll(verified_new)
+
+
+def bloom_paragraph_scrub(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    seed: int = 0,
+    corpus_paragraphs: DataFrame | None = None,
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Paragraph-level incremental dedup (Dolma's second Bloom pass):
+    drop from each incoming document every NON-EMPTY line that already
+    appears as a line anywhere in the corpus, rebuilding the remaining
+    lines in order. Returns (id_col, text_col, n_paras,
+    n_dropped) — empty lines are never probed or dropped (they are
+    layout, not paragraphs), and a doc whose every line is dropped
+    keeps its row with empty text (the caller's length filter is the
+    drop decision, same candidates-not-verdicts discipline).
+
+    Cost shape mirrors :func:`bloom_incremental_dedup`, plus the
+    incremental-cost rule for rebuilds: docs with NO dropped line —
+    the overwhelming majority on a real crawl — are detected with a
+    narrow (id) anti-join and pass through UNTOUCHED (no explode-
+    regroup of their text); only affected docs pay the per-line
+    regroup. Exactness: Bloom "maybe" lines are verified against the
+    real corpus line set before dropping, so output equals the plain
+    NOT-EXISTS scrub for any (m_bits, k) — the FULL-gate argument.
+
+    Pass ``corpus_paragraphs`` (a persisted one-column ``para`` table)
+    and/or ``bloom`` to amortize across shards."""
+    if corpus_paragraphs is None:
+        if corpus_df is None:
+            raise ValueError("pass corpus_df or corpus_paragraphs")
+        corpus_paragraphs = (
+            corpus_df.select(
+                F.explode(F.split(F.col(text_col), "\n")).alias("para")
+            )
+            .filter(F.length("para") > 0)
+            .distinct()
+        )
+    digests = corpus_paragraphs.select(F.sha2(F.col("para"), 256).alias("digest"))
+    if bloom is None:
+        bloom = build_bloom(digests, "digest", m_bits, k, seed)
+    lines = new_df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    probe = lines.filter(F.length("line") > 0).select(
+        id_col,
+        "pos",
+        "line",
+        F.concat(F.col(id_col).cast("string"), F.lit("_"), F.col("pos")).alias(
+            "_key"
+        ),
+        F.sha2(F.col("line"), 256).alias("_digest"),
+    )
+    flags = bloom_maybe_contains(
+        probe.select("_key", "_digest"), bloom, "_digest", "_key", m_bits, k, seed
+    )
+    # verified drops: bloom-maybe lines whose digest really is in the
+    # corpus line set (left_semi — false positives survive the verify)
+    dropped = (
+        probe.join(flags.filter(F.col("maybe_in_bloom")), "_key", "left_semi")
+        .join(
+            digests.select(F.col("digest").alias("_digest")),
+            "_digest",
+            "left_semi",
+        )
+        .select(id_col, "pos")
+    )
+    # incremental-cost rule: untouched docs (no dropped line) pass through
+    affected_ids = dropped.select(id_col).distinct()
+    untouched = new_df.join(affected_ids, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_paras"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    kept_lines = lines.join(affected_ids, id_col, "left_semi").join(
+        dropped, [id_col, "pos"], "left_anti"
+    )
+    rebuilt = (
+        kept_lines.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    n_orig = new_df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_paras"),
+    )
+    affected = rebuilt.join(n_orig, id_col).select(
+        id_col,
+        text_col,
+        "n_paras",
+        (F.col("n_paras") - F.col("_n_kept")).cast("long").alias("n_dropped"),
+    )
+    # a doc whose EVERY line was dropped has no kept_lines row: re-add
+    all_dropped = (
+        new_df.join(affected_ids, id_col, "left_semi")
+        .join(rebuilt.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("").alias(text_col),
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_paras"),
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_dropped"),
+        )
+    )
+    return untouched.unionAll(affected).unionAll(all_dropped)

@@ -1274,3 +1274,44 @@ def test_winnow_fingerprints_matches_pure_python(spark):
 
     with _pytest.raises(ValueError):
         winnow_fingerprints(F.col("t"), k=0)
+
+
+def test_bloom_paragraph_scrub(spark):
+    """Paragraph Bloom pass: corpus lines vanish from incoming docs in
+    place, empty lines never drop (layout), untouched docs pass through
+    byte-identical, all-dropped docs keep a row with empty text, and
+    output is (m,k)-independent."""
+    from language_identification_spark.operators.bloom import (
+        bloom_paragraph_scrub,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "seen one\nseen two"), (101, "other corpus line")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "fresh a\nseen one\nfresh b"),   # middle line drops
+            (2, "fresh only\n\nfresh tail"),      # untouched (empty kept)
+            (3, "seen one\nseen two"),            # all lines drop
+            (4, "fresh x\n\nseen two"),           # empty line survives
+        ],
+        "doc_id long, text string",
+    )
+    for m_bits, k in [(64, 1), (1 << 14, 5)]:
+        got = {
+            r["doc_id"]: r
+            for r in bloom_paragraph_scrub(
+                new, corpus, m_bits=m_bits, k=k
+            ).collect()
+        }
+        assert (got[1]["text"], got[1]["n_paras"], got[1]["n_dropped"]) == (
+            "fresh a\nfresh b", 3, 1
+        )
+        assert (got[2]["text"], got[2]["n_dropped"]) == (
+            "fresh only\n\nfresh tail", 0
+        )
+        assert (got[3]["text"], got[3]["n_paras"], got[3]["n_dropped"]) == (
+            "", 2, 2
+        )
+        assert (got[4]["text"], got[4]["n_dropped"]) == ("fresh x\n", 1)
