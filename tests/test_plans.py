@@ -328,3 +328,44 @@ def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     head = plan.split("(1) Scan", 1)[0]  # tree section: corpus-side join is the top join
     assert "BroadcastHashJoin LeftOuter" in head, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deterministic_shuffle_plan_no_global_sort(spark, sf_dir):
+    """The training-order shuffle must be ONE hash Exchange on shard +
+    per-shard local sorts — never a rangepartitioning Exchange (global
+    sort), which would add a driver-coordinated sampling pass."""
+    from language_identification_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from language_identification_spark.plans.asserts import physical_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = physical_plan(deterministic_shuffle(d, n_shards=8, salt="p"))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, plan
+    assert "hashpartitioning(shard" in plan.lower().replace("#", "").replace(
+        " ", ""
+    ) or "hashpartitioning(shard" in plan.replace(" ", "").lower(), plan
+
+
+def test_bloom_probe_never_shuffles_text(spark, sf_dir):
+    """The Bloom probe subplan (flags) must shuffle only (key,
+    position/hit) pairs: no 'text' column may appear in any Exchange
+    input of the flag computation."""
+    from language_identification_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+    )
+    from language_identification_spark.plans.asserts import physical_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    digests = d.select(F.sha2(F.col("text"), 256).alias("digest"))
+    bloom = build_bloom(digests, "digest", 1 << 12, 3)
+    probe = d.select("doc_id", F.sha2(F.col("text"), 256).alias("_digest"))
+    flags = bloom_maybe_contains(probe, bloom, "_digest", "doc_id", 1 << 12, 3)
+    plan = physical_plan(flags)
+    # the probe side projects to (doc_id, word_idx, _bit) before any
+    # exchange; text never rides a shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
