@@ -741,9 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planted = F.when(
             F.col("doc_id") % 6 == 0, moji_plant(base)
         ).otherwise(base)
-        out = d.select(
-            "doc_id", base.alias("_base"), planted.alias("_planted")
-        ).select(
+        out = d.select("doc_id", planted.alias("_planted")).select(
             "doc_id",
             fix_mojibake(F.col("_planted")).alias("text"),
             "_planted",
@@ -3126,7 +3124,10 @@ def oracle_sql() -> dict[str, str]:
             CASE WHEN doc_id % 6 = 0
                  THEN translate(text, 'ea', '{"éà"}')
                  ELSE text END AS text,
-            (doc_id % 6 = 0 AND regexp_matches(text, '[ea]')) AS was_fixed
+            (doc_id % 6 = 0
+             AND (regexp_matches(text, '[ea]')
+                  OR regexp_matches(text, '[\\x{{0080}}-\\x{{10ffff}}]')))
+              AS was_fixed
           FROM documents
         """,
         # Interpolates the shared *_DUCK script classes (functions/

@@ -173,7 +173,9 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
         sel,
         lambda e: F.struct(
             (shift - 1 - e % shift).cast("long").alias("pos"),
-            F.shiftright(e, 31).cast("long").alias("fp"),
+            F.shiftright(e, WINNOW_POS_SHIFT.bit_length() - 1)
+            .cast("long")
+            .alias("fp"),
         ),
     )
     return F.when(m >= 1, decoded).otherwise(

@@ -33,9 +33,25 @@ join by the filter's actual size.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built filter: the (word_idx, bits) table PLUS the (m_bits, k,
+    seed) that built it. Probing with different parameters than the
+    build silently voids the no-false-negative guarantee (true dups
+    would probe 'definitely new' and skip the exact verify), so the
+    parameters travel WITH the table and the probe paths only accept
+    this wrapper — a bare DataFrame cannot be probed."""
+
+    table: DataFrame
+    m_bits: int
+    k: int
+    seed: int
 
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -69,16 +85,16 @@ def build_bloom(
     m_bits: int,
     k: int,
     seed: int = 0,
-) -> DataFrame:
-    """(word_idx, bits): Bloom filter over ``values[value_col]`` as a
-    64-bit-word table. One explode (k rows per value, k is small) + one
-    map-side-combined ``bit_or`` — the only shuffle carries at most
-    ``m_bits/64`` distinct word keys. Words whose bits are all zero are
-    absent from the output."""
+) -> BloomFilter:
+    """:class:`BloomFilter` over ``values[value_col]``, table form =
+    (word_idx, bits) 64-bit words. One explode (k rows per value, k is
+    small) + one map-side-combined ``bit_or`` — the only shuffle
+    carries at most ``m_bits/64`` distinct word keys. Words whose bits
+    are all zero are absent from the table."""
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     pos = F.explode(_positions(F.col(value_col), m_bits, k, seed)).alias("pos")
-    return (
+    table = (
         values.select(pos)
         .select(
             (F.col("pos") / 64).cast("long").alias("word_idx"),
@@ -89,16 +105,14 @@ def build_bloom(
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("bits"))
     )
+    return BloomFilter(table, m_bits, k, seed)
 
 
 def bloom_maybe_contains(
     probe: DataFrame,
-    bloom: DataFrame,
+    bloom: BloomFilter,
     value_col: str,
     key_col: str,
-    m_bits: int,
-    k: int,
-    seed: int = 0,
 ) -> DataFrame:
     """(key_col, maybe_in_bloom): true iff ALL k bit positions of
     ``probe[value_col]`` are set in ``bloom``; false means DEFINITELY
@@ -110,7 +124,9 @@ def bloom_maybe_contains(
     (key, hit) pairs aggregate — the probe's payload columns never
     enter this subplan; the caller joins the narrow flag table back on
     ``key_col``. When the filter table is small enough, AQE broadcasts
-    it and the word-idx join is shuffle-free."""
+    it and the word-idx join is shuffle-free. Probe parameters come
+    FROM the filter (build/probe mismatch is unrepresentable)."""
+    m_bits, k, seed = bloom.m_bits, bloom.k, bloom.seed
     exploded = probe.select(
         F.col(key_col),
         F.explode(_positions(F.col(value_col), m_bits, k, seed)).alias("_pos"),
@@ -121,7 +137,7 @@ def bloom_maybe_contains(
             "_bit"
         ),
     )
-    joined = exploded.join(bloom, "word_idx", "left").select(
+    joined = exploded.join(bloom.table, "word_idx", "left").select(
         key_col,
         (
             F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_bit"))
@@ -140,7 +156,7 @@ def bloom_incremental_dedup(
     m_bits: int = 1 << 20,
     k: int = 7,
     seed: int = 0,
-    bloom: DataFrame | None = None,
+    bloom: BloomFilter | None = None,
 ) -> DataFrame:
     """New documents whose text is NOT byte-identical to anything in the
     corpus — same contract and output as
@@ -172,7 +188,7 @@ def bloom_incremental_dedup(
     cols = new_df.columns
     new_h = new_df.withColumn("_digest", F.sha2(F.col(text_col), 256))
     flags = bloom_maybe_contains(
-        new_h.select(id_col, "_digest"), bloom, "_digest", id_col, m_bits, k, seed
+        new_h.select(id_col, "_digest"), bloom, "_digest", id_col
     )
     probed = new_h.join(flags, id_col)
     definite_new = probed.filter(~F.col("maybe_in_bloom")).select(*cols)
@@ -197,7 +213,7 @@ def bloom_paragraph_scrub(
     k: int = 7,
     seed: int = 0,
     corpus_paragraphs: DataFrame | None = None,
-    bloom: DataFrame | None = None,
+    bloom: BloomFilter | None = None,
 ) -> DataFrame:
     """Paragraph-level incremental dedup (Dolma's second Bloom pass):
     drop from each incoming document every NON-EMPTY line that already
@@ -246,7 +262,7 @@ def bloom_paragraph_scrub(
         F.sha2(F.col("line"), 256).alias("_digest"),
     )
     flags = bloom_maybe_contains(
-        probe.select("_key", "_digest"), bloom, "_digest", "_key", m_bits, k, seed
+        probe.select("_key", "_digest"), bloom, "_digest", "_key"
     )
     # verified drops: bloom-maybe lines whose digest really is in the
     # corpus line set (left_semi — false positives survive the verify)

@@ -36,11 +36,10 @@ M_DEFAULT = 1_000_000
 
 
 def sample_bucket(key: Column, salt: str, m: int = M_DEFAULT) -> Column:
-    """Uniform bucket in [0, m): ``sha256(salt || key)`` first 32 bits
-    mod ``m``. Keys are cast to string so any key dtype hashes to the
-    same bucket as its textual form in the oracle."""
-    h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    """Uniform bucket in [0, m): the 32-bit :func:`shuffle_rank` hash
+    mod ``m`` — ONE copy of the cross-engine sha256-prefix contract
+    serves both sampling and shuffling (and their oracles)."""
+    return shuffle_rank(key, salt) % m
 
 
 def hash_sample(
@@ -86,10 +85,11 @@ def stratified_hash_sample(
 
 
 def shuffle_rank(key: Column, salt: str) -> Column:
-    """Full 32-bit uniform rank for :func:`deterministic_shuffle`:
-    ``sha256(salt || key)`` first 8 hex chars as BIGINT. Same
-    cross-engine hex-to-int trick as :func:`sample_bucket`, without the
-    mod-m truncation (ordering wants resolution, not buckets)."""
+    """Full 32-bit uniform hash: ``sha256(salt || key)`` first 8 hex
+    chars as BIGINT (keys cast to string so any dtype hashes like its
+    textual form in the oracle). The single implementation behind both
+    :func:`deterministic_shuffle` (needs resolution) and
+    :func:`sample_bucket` (mods it into buckets)."""
     h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 

@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) under the pinned token_count_ws whitespace discipline
+    (lowercase, split on [ \\t\\n]+, empties dropped) — the ONE copy of
+    the tokenize contract both vocab operators and their DuckDB oracles
+    mirror."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[ \t\n]+"),
+                    lambda w: w != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str = "text",
@@ -40,24 +60,25 @@ def vocab_coverage(
     ks = sorted(set(ks or [100, 1000, 10000]))
     if ks[0] <= 0:
         raise ValueError(f"ks must be positive, got {ks}")
-    words = df.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[ \t\n]+"),
-                lambda w: w != "",
-            )
-        ).alias("word")
-    )
-    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
-    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(ks[-1])
-    # The top table is ≤ max(ks) rows BY CONSTRUCTION (tokenizer vocab
-    # sizes, not corpus sizes), so the cumulative sum is a bounded
-    # driver-side fold — the same discipline as the IVF centroid
-    # ranking: no unpartitioned WindowExec in the plan, and the collect
-    # is capped by the caller's own parameter, never by data volume.
-    top_counts = [
-        r["cnt"] for r in top.collect()
-    ]  # already in (cnt desc, word asc) order
+    # ONE corpus pass: counts is persisted across the two bounded
+    # actions below (top-k rows + the 1-row total), then freed — without
+    # the persist the corpus-wide explode+count shuffle would run twice.
+    counts = _word_counts(df, text_col).persist()
+    try:
+        # The top table is ≤ max(ks) rows BY CONSTRUCTION (tokenizer
+        # vocab sizes, not corpus sizes), so the cumulative sum is a
+        # bounded driver-side fold — the IVF-centroid discipline: no
+        # unpartitioned WindowExec, and the collect is capped by the
+        # caller's own parameter, never by data volume.
+        top_counts = [
+            r["cnt"]
+            for r in counts.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(ks[-1])
+            .collect()
+        ]  # already in (cnt desc, word asc) order
+        total_tokens = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    finally:
+        counts.unpersist()
     covered = []
     run = 0
     for c in top_counts:
@@ -66,27 +87,25 @@ def vocab_coverage(
     spark = df.sparkSession
     curve = spark.createDataFrame(
         [
-            (k, covered[min(k, len(covered)) - 1] if covered else 0)
+            (
+                k,
+                covered[min(k, len(covered)) - 1] if covered else 0,
+                int(total_tokens),
+            )
             for k in ks
         ],
-        "k long, covered_tokens long",
+        "k long, covered_tokens long, total_tokens long",
     )
-    # total occurrences = Σ cnt over the counts table (one extra 1-row
-    # aggregate over the already-shuffled counts — cheaper than a second
-    # corpus-wide explode)
-    total = counts.agg(F.sum("cnt").alias("total_tokens"))
-    return (
-        curve.crossJoin(F.broadcast(total))
-        .select(
-            F.col("k").cast("long").alias("k"),
-            F.col("covered_tokens").cast("long").alias("covered_tokens"),
-            "total_tokens",
-            F.round(
-                F.col("covered_tokens") / F.col("total_tokens"), 6
-            ).alias("coverage"),
-        )
-        .orderBy("k")
-    )
+    # float math (division + round) stays in Spark expressions so the
+    # gate hash cannot drift on rounding rules
+    return curve.select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
+    ).orderBy("k")
 
 
 def bpe_pair_stats(
@@ -109,15 +128,7 @@ def bpe_pair_stats(
     the repo-wide deterministic top-k discipline."""
     if top_k <= 0:
         raise ValueError(f"top_k must be positive, got {top_k}")
-    words = df.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[ \t\n]+"),
-                lambda w: w != "",
-            )
-        ).alias("word")
-    )
-    types = words.groupBy("word").agg(F.count("*").alias("freq"))
+    types = _word_counts(df, text_col).withColumnRenamed("cnt", "freq")
     syms = F.concat(
         F.split(F.col("word"), ""), F.array(F.lit("</w>"))
     ).alias("syms")

@@ -986,14 +986,14 @@ def test_bloom_no_false_negatives(spark):
     )
     for m_bits, k in [(64, 1), (8192, 5)]:
         bloom = build_bloom(vals, "v", m_bits, k)
-        flags = bloom_maybe_contains(vals, bloom, "v", "id", m_bits, k)
+        flags = bloom_maybe_contains(vals, bloom, "v", "id")
         assert flags.filter(~F.col("maybe_in_bloom")).count() == 0
     other = spark.range(200, 400).select(
         F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("v")
     )
     bloom = build_bloom(vals, "v", 8192, 5)
     hits = (
-        bloom_maybe_contains(other, bloom, "v", "id", 8192, 5)
+        bloom_maybe_contains(other, bloom, "v", "id")
         .filter(F.col("maybe_in_bloom"))
         .count()
     )
