@@ -154,9 +154,10 @@ def test_events_quantiles_approx_bound(spark, sf_dir):
 
 
 def test_repetition_columns_native_matches_python(spark):
-    """r5: the native HOF fold (sorted-run aggregate, no explode) must be
-    bit-identical to the Python twin on adversarial shapes — overlapping
-    repeats, cap saturation, ties between gram lengths, short docs."""
+    """r5 (mode coverage widened r6): both the HOF fold (sorted-run
+    aggregate, no explode) and the serving Arrow UDF must be bit-identical
+    to the Python twin on adversarial shapes — overlapping repeats, cap
+    saturation, ties between gram lengths, short docs."""
     from language_identification_spark.functions.text import (
         DUP_NGRAM_NS,
         TOP_NGRAM_NS,
@@ -175,14 +176,15 @@ def test_repetition_columns_native_matches_python(spark):
         "p q r s t u p q r s t u p q r s t u",  # long phrase ×3
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
-    out = {r["i"]: r for r in with_repetition_columns(df, "t").collect()}
     keys = [f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS] + [
         f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS
     ]
-    for i, t in enumerate(texts):
-        exp = py_quality_features(t)
-        for k in keys:
-            assert out[i][k] == exp[k], (i, k, out[i][k], exp[k])
+    for mode in ("arrow", "hof"):
+        out = {r["i"]: r for r in with_repetition_columns(df, "t", mode).collect()}
+        for i, t in enumerate(texts):
+            exp = py_quality_features(t)
+            for k in keys:
+                assert out[i][k] == exp[k], (mode, i, k, out[i][k], exp[k])
 
 
 def test_fixture_repetition_anomalies_trip_one_rule_each(pages_pdf):
