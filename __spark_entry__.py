@@ -32,6 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Shared letter→CJK mapping for the cjk_quality_rules gate: 26 distinct
+# CJK codepoints so translate() turns latin test text into genuine-shaped
+# space-free-script prose identically in Spark and DuckDB.
+_CJK_FROM = "abcdefghijklmnopqrstuvwxyz"
+_CJK_TO = "的一是了我不人在他有这中大来上国个到说们为子和你好地"
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship pipeline smoke
 # ---------------------------------------------------------------------------
@@ -350,6 +357,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def cjk_quality_rules(spark, sf):
+        # r6 per-script routing (VERDICT r5 ask #4): the documents table
+        # is latin, so CJK variants are SYNTHESIZED identically in both
+        # engines — doc_id%3==1 maps letters onto 26 distinct CJK chars
+        # via translate() (genuine space-free prose), %3==2 repeats an
+        # 8-CJK-char prefix (char-level spam). The gate checks the new
+        # script/diversity feature columns and the two cjk substitute
+        # rules from raw text cross-engine; the guard ROUTING itself is
+        # gated by drop_reasons (synthesized is_cjk rows).
+        from language_identification_spark.functions.text import (
+            char_diversity_expr,
+            with_script_columns,
+        )
+        from language_identification_spark.pipeline.rules import (
+            MIN_CJK_CHARS,
+            MIN_CJK_DISTINCT_CHAR_4GRAM_RATIO,
+        )
+
+        d = _t(spark, sf, "documents")
+        mode = F.col("doc_id") % 3
+        cjk_full = F.translate(F.lower("text"), _CJK_FROM, _CJK_TO)
+        spam = F.repeat(
+            F.substring(F.regexp_replace(cjk_full, "[^一-鿿]", ""), 1, 8), 15
+        )
+        txt = (
+            F.when(mode == 1, cjk_full)
+            .when(mode == 2, spam)
+            .otherwise(F.col("text"))
+        )
+        out = with_script_columns(d.select("doc_id", txt.alias("t")), "t")
+        div = F.round(char_diversity_expr(F.col("t")), 6)
+        reason = (
+            F.when(
+                F.col("is_cjk") & (F.col("n_cjk") < MIN_CJK_CHARS),
+                F.lit("cjk_too_few_cjk_chars"),
+            )
+            .when(
+                F.col("is_cjk") & (div < MIN_CJK_DISTINCT_CHAR_4GRAM_RATIO),
+                F.lit("cjk_char_repetition_high"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return out.select(
+            "doc_id",
+            F.col("n_cjk").cast("long").alias("n_cjk"),
+            F.col("n_script_letters").cast("long").alias("n_script_letters"),
+            "is_cjk",
+            div.alias("char_div"),
+            reason.alias("cjk_reason"),
+        )
+
     def boilerplate_removal(spark, sf):
         # r5 net-new: cross-document line dedup (CCNet/RefinedWeb
         # boilerplate removal). The documents table is single-line, so
@@ -627,10 +685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             drop_reason_expr,
         )
 
-        cols, n_rules = _reason_gate_plan()
+        cols, n_rules, cjk_idx = _reason_gate_plan()
         d = _t(spark, sf, "documents").select("doc_id")
         mode = F.col("doc_id") % (n_rules + 1)
-        feat_cols = []
+        feat_cols = [mode.isin(cjk_idx).alias("is_cjk")]
         for col, c in cols.items():
             expr = F.lit(c["pass"])
             for i, fail in c["fails"]:
@@ -1979,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rotated each round so every query gets a driver-checked row
         # within two rounds: r6 leads with the 38 names absent from
         # CORRECTNESS_r05.json, then the r5-green names re-queue.
+        "cjk_quality_rules": cjk_quality_rules,
         "pr_sweep": pr_sweep,
         "corpus_shuffle": corpus_shuffle,
         "span_dedup": span_dedup,
@@ -2084,12 +2143,24 @@ def _reason_gate_plan():
     Row ``doc_id % (len(RULE_SPECS)+1) == i`` fails exactly rule i; the
     leftover residue passes everything. All literals are computed HERE in
     Python and emitted verbatim to both engines — no engine arithmetic,
-    so the two sides cannot round differently."""
-    from language_identification_spark.pipeline.rules import RULE_SPECS
+    so the two sides cannot round differently.
 
-    int_cols = {"n_chars", "n_words"}
+    r6 per-script routing: also returns the RULE_SPECS indices of the
+    cjk-guarded rules — the synthesized ``is_cjk`` boolean is true exactly
+    on the rows meant to fail a cjk rule (so those rules are armed there),
+    false everywhere else (so the word-guarded rules stay armed on their
+    own fail rows)."""
+    from language_identification_spark.pipeline.rules import (
+        RULE_GUARDS,
+        RULE_SPECS,
+    )
+
+    int_cols = {"n_chars", "n_words", "n_cjk"}
     cols: dict[str, dict] = {}
+    cjk_idx: list[int] = []
     for i, (reason, col, op, t) in enumerate(RULE_SPECS):
+        if RULE_GUARDS.get(reason) == "cjk":
+            cjk_idx.append(i)
         c = cols.setdefault(col, {"fails": [], "lows": [], "highs": []})
         (c["lows"] if op == "<" else c["highs"]).append(t)
         fail = (t - 1 if col in int_cols else t / 2) if op == "<" else (
@@ -2102,7 +2173,7 @@ def _reason_gate_plan():
         pv = (lo + hi) / 2
         c["pass"] = int(pv) if col in int_cols else pv
         c["is_int"] = col in int_cols
-    return cols, len(RULE_SPECS)
+    return cols, len(RULE_SPECS), cjk_idx
 
 
 # DuckDB twin of functions/analysis.quality_score — shared by the
@@ -2237,8 +2308,10 @@ def oracle_sql() -> dict[str, str]:
         drop_reason_sql as _drop_reason_sql,
     )
 
-    _reason_cols, _n_rules = _reason_gate_plan()
-    _reason_feats = ",\n              ".join(
+    _reason_cols, _n_rules, _cjk_idx = _reason_gate_plan()
+    _reason_feats = "doc_id % {m} IN ({idx}) AS is_cjk,\n              ".format(
+        m=_n_rules + 1, idx=", ".join(map(str, _cjk_idx))
+    ) + ",\n              ".join(
         "CASE doc_id % {m} {whens} ELSE {pv} END{cast} AS {col}".format(
             m=_n_rules + 1,
             whens=" ".join(
@@ -2250,6 +2323,54 @@ def oracle_sql() -> dict[str, str]:
         )
         for col, c in _reason_cols.items()
     )
+    from language_identification_spark.pipeline.rules import (
+        MIN_CJK_CHARS as _CJK_MIN,
+        MIN_CJK_DISTINCT_CHAR_4GRAM_RATIO as _CJK_DIV_MIN,
+    )
+
+    _cjk_t = f"translate(lower(text), '{_CJK_FROM}', '{_CJK_TO}')"
+    _is_cjk = "(n_cjk * 2 > n_script_letters)"
+    _cjk_rules_oracle = f"""
+          WITH v AS (
+            SELECT doc_id,
+              CASE doc_id % 3
+                WHEN 1 THEN {_cjk_t}
+                WHEN 2 THEN repeat(substr(regexp_replace({_cjk_t},
+                       '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'), 1, 8), 15)
+                ELSE text END AS t
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id, t,
+              len(regexp_extract_all(t, '{_cjk_duck()}'))::BIGINT AS n_cjk,
+              (len(regexp_extract_all(t, '[A-Za-z]'))
+               + len(regexp_extract_all(t, '{_cjk_duck()}'))
+               + len(regexp_extract_all(t, '{_cyr_duck()}'))
+               + len(regexp_extract_all(t, '{_greek_duck()}')))::BIGINT
+                AS n_script_letters
+            FROM v
+          ),
+          g AS (
+            SELECT doc_id,
+                   count(DISTINCT substr(t, u.i::INT, 4))::DOUBLE
+                     / count(*)::DOUBLE AS ratio
+            FROM v, LATERAL unnest(range(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 4
+            GROUP BY doc_id
+          )
+          SELECT c.doc_id, c.n_cjk, c.n_script_letters,
+                 {_is_cjk} AS is_cjk,
+                 round(coalesce(g.ratio, 1.0), 6) AS char_div,
+                 CASE
+                   WHEN {_is_cjk} AND c.n_cjk < {_CJK_MIN}
+                     THEN 'cjk_too_few_cjk_chars'
+                   WHEN {_is_cjk}
+                        AND round(coalesce(g.ratio, 1.0), 6) < {_CJK_DIV_MIN}
+                     THEN 'cjk_char_repetition_high'
+                   ELSE NULL END AS cjk_reason
+          FROM c LEFT JOIN g USING (doc_id)
+        """
+
     _drop_reasons_oracle = f"""
           WITH feats AS (
             SELECT doc_id,
@@ -2873,6 +2994,7 @@ def oracle_sql() -> dict[str, str]:
           FROM feat
         """,
         "gopher_repetition": gopher_repetition_sql,
+        "cjk_quality_rules": _cjk_rules_oracle,
         "boilerplate_removal": """
           WITH planted AS (
             SELECT doc_id,

@@ -117,6 +117,11 @@ def gen_pages(
             lang = skew_lang
         else:
             lang = langs[i % len(langs)]
+        # The 8-lang × 20-mode striping never lands zh on the r6
+        # space-free modes; force zh on alternate occurrences so the CJK
+        # route sees genuine space-free prose AND char-level spam.
+        if i % 20 in (12, 13) and (i // 20) % 2 == 0 and "zh" in langs:
+            lang = "zh"
         r = random.Random((seed << 20) ^ (i * 2654435761 % (1 << 31)))
         vocab = vocabs[lang]
         n_words = r.randint(8, 80)
@@ -186,6 +191,18 @@ def gen_pages(
             text = " ".join(
                 fill(10) + pa + fill(8) + pb + fill(8) + pa + fill(8) + pb + fill(10)
             )
+        # r6 per-script routing anomalies (VERDICT r5 ask #4). Mode 12 is
+        # the genuine-CJK case the word-based rules misjudge: space-free
+        # layout, one "word" — for zh this is REAL prose (must be kept by
+        # the cjk route); for latin scripts it's genuine garbage (dropped
+        # by too_few_words / mean_word_len_high, correctly).
+        elif mode == 12:  # space-free layout (genuine for CJK scripts)
+            while len(words) < 40:
+                words.append(r.choice(vocab))
+            text = "".join(words)
+        elif mode == 13:  # char-level spam: one short phrase ×N, no spaces
+            phrase = "".join(words[:4]) or "ab"
+            text = phrase * (120 // len(phrase) + 1)
 
         url = f"https://site{i % 97}.example/{hashlib.sha1(str(i).encode()).hexdigest()[:12]}"
         html = b"<html><body>" + text.encode("utf-8") + b"</body></html>"

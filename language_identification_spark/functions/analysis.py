@@ -29,6 +29,15 @@ CJK_SPARK, CJK_DUCK = "[一-鿿]", "[\\x{4e00}-\\x{9fff}]"
 CYR_SPARK, CYR_DUCK = "[Ѐ-ӿ]", "[\\x{0400}-\\x{04ff}]"
 GREEK_SPARK, GREEK_DUCK = "[Ͱ-Ͽ]", "[\\x{0370}-\\x{03ff}]"
 
+# Python twins of the same ranges (shared by the oracle and the fused UDF
+# so counts are identical by construction).
+import re as _re
+
+CJK_PY = _re.compile("[一-鿿]")
+CYR_PY = _re.compile("[Ѐ-ӿ]")
+GREEK_PY = _re.compile("[Ͱ-Ͽ]")
+LATIN_PY = _re.compile("[A-Za-z]")
+
 
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""

@@ -203,8 +203,15 @@ def _top_gram_chars(grams: Column) -> Column:
     return F.aggregate(F.array_sort(grams), init, merge, finish)
 
 
-REPETITION_KEYS = tuple(f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS) + tuple(
-    f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS
+# The 9 Gopher word-n-gram repetition fractions plus the char-level
+# diversity ratio (the CJK-route repetition substitute — see
+# pipeline/rules.py MIN_CJK_DISTINCT_CHAR_4GRAM_RATIO): all computed in
+# the same Arrow pass / the same HOF column set.
+CHAR_DIVERSITY_N = 4
+REPETITION_KEYS = (
+    tuple(f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS)
+    + tuple(f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS)
+    + ("distinct_char_4gram_ratio",)
 )
 
 
@@ -226,10 +233,11 @@ def repetition_features_udf():
 
     @F.pandas_udf(schema)
     def rep(texts: pd.Series) -> pd.DataFrame:
-        rows = [
-            py_repetition_features(py_words(x), len(x))
-            for x in texts.fillna("")
-        ]
+        rows = []
+        for x in texts.fillna(""):
+            r = py_repetition_features(py_words(x), len(x))
+            r["distinct_char_4gram_ratio"] = py_distinct_char_ngram_ratio(x)
+            rows.append(r)
         return pd.DataFrame(rows, columns=list(REPETITION_KEYS))
 
     return rep
@@ -281,7 +289,19 @@ def with_repetition_columns(
             ),
         ).otherwise(F.lit(0.0))
         df = df.withColumn(f"dup_{nn}gram_char_frac", frac)
-    return df
+    return df.withColumn("distinct_char_4gram_ratio", char_diversity_expr(c))
+
+
+def char_diversity_expr(c: Column, n: int = CHAR_DIVERSITY_N) -> Column:
+    """distinct char n-gram windows / total windows; 1.0 for docs shorter
+    than n. SQL form (char array + zip_with grams + array_distinct) —
+    interpreted HOFs, so gate/debug only; serving computes it inside the
+    repetition Arrow UDF."""
+    g = char_ngrams(c, n, reference_pad=False)
+    return F.when(
+        F.length(c) >= n,
+        F.size(F.array_distinct(g)).cast("double") / F.size(g),
+    ).otherwise(F.lit(1.0))
 
 # Gopher-style line heuristics — pinned, no trimming, so Spark SQL, the
 # Python twin, and the DuckDB oracle evaluate byte-identical predicates.
@@ -395,8 +415,25 @@ def with_quality_columns(
             "dup_line_ratio",
             (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
         )
+        .transform(lambda d: with_script_columns(d, text_col))
         .transform(lambda d: with_repetition_columns(d, text_col, repetition_mode))
         .drop("__stop_lex")
+    )
+
+
+def with_script_columns(df: DataFrame, text_col: str = "norm_text") -> DataFrame:
+    """Script-routing columns (r6): per-script letter counts collapse to
+    ``n_cjk`` / ``n_script_letters`` and the ``is_cjk`` majority flag that
+    gates the word-based keep rules (pipeline/rules.RULE_GUARDS). Native
+    ``regexp_count`` — codegen, fuses into the scan."""
+    from .analysis import script_counts
+
+    sc = script_counts(F.col(text_col))
+    total = sc["n_latin"] + sc["n_cjk"] + sc["n_cyrillic"] + sc["n_greek"]
+    return (
+        df.withColumn("n_cjk", sc["n_cjk"])
+        .withColumn("n_script_letters", total)
+        .withColumn("is_cjk", F.col("n_cjk") * 2 > F.col("n_script_letters"))
     )
 
 
@@ -446,6 +483,8 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
     import numpy as np
     import pandas as pd
 
+    from .analysis import CJK_PY, CYR_PY, GREEK_PY, LATIN_PY
+
     stopset = frozenset(stopwords if stopwords is not None else _default_stopwords())
     rep_keys = tuple(f"top_{nn}gram_char_frac" for nn in TOP_NGRAM_NS) + tuple(
         f"dup_{nn}gram_char_frac" for nn in DUP_NGRAM_NS
@@ -454,6 +493,7 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         "n_chars", "n_words", "mean_word_len", "symbol_ratio",
         "distinct_word_ratio", "stopword_ratio", "bullet_line_ratio",
         "ellipsis_line_ratio", "dup_line_ratio",
+        "n_cjk", "n_script_letters", "is_cjk", "distinct_char_4gram_ratio",
     ) + rep_keys
     s = pd.Series(norm_series).reset_index(drop=True)
     n = len(s)
@@ -461,6 +501,14 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         return {k: [] for k in keys}
     n_chars = s.str.len().to_numpy(dtype=np.int64)
     sym_cnt = s.str.count(SYMBOL_CLASS).to_numpy(dtype=np.int64)
+    n_cjk = s.str.count(CJK_PY).to_numpy(dtype=np.int64)
+    n_scripts = (
+        n_cjk
+        + s.str.count(LATIN_PY).to_numpy(dtype=np.int64)
+        + s.str.count(CYR_PY).to_numpy(dtype=np.int64)
+        + s.str.count(GREEK_PY).to_numpy(dtype=np.int64)
+    )
+    char_div = np.empty(n, dtype=np.float64)
     n_words = np.empty(n, dtype=np.int64)
     distinct = np.empty(n, dtype=np.int64)
     toklen = np.empty(n, dtype=np.int64)
@@ -477,6 +525,7 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         toklen[i] = sum(map(len, toks))
         stop_cnt[i] = sum(1 for t in toks if t in stopset)
         n_lines[i], bullet[i], ellipsis[i], dup[i] = _py_line_feats(x)
+        char_div[i] = py_distinct_char_ngram_ratio(x)
         for k, v in py_repetition_features(toks, len(x)).items():
             rep[k][i] = v
     safe = np.maximum(n_words, 1).astype(np.float64)
@@ -496,7 +545,38 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         "bullet_line_ratio": bullet / nl,
         "ellipsis_line_ratio": ellipsis / nl,
         "dup_line_ratio": dup / nl,
+        "n_cjk": n_cjk,
+        "n_script_letters": n_scripts,
+        "is_cjk": n_cjk * 2 > n_scripts,
+        "distinct_char_4gram_ratio": char_div,
         **rep,
+    }
+
+
+def py_distinct_char_ngram_ratio(s: str, n: int = CHAR_DIVERSITY_N) -> float:
+    """distinct char n-gram windows / total windows; 1.0 below n chars.
+    Twin of :func:`char_diversity_expr` (exact ints, one division)."""
+    total = len(s) - n + 1
+    if total <= 0:
+        return 1.0
+    return len({s[i : i + n] for i in range(total)}) / total
+
+
+def py_script_features(norm: str) -> dict:
+    """Twin of :func:`with_script_columns`."""
+    from .analysis import CJK_PY, CYR_PY, GREEK_PY, LATIN_PY
+
+    n_cjk = len(CJK_PY.findall(norm))
+    total = (
+        n_cjk
+        + len(LATIN_PY.findall(norm))
+        + len(CYR_PY.findall(norm))
+        + len(GREEK_PY.findall(norm))
+    )
+    return {
+        "n_cjk": n_cjk,
+        "n_script_letters": total,
+        "is_cjk": n_cjk * 2 > total,
     }
 
 
@@ -519,6 +599,8 @@ def py_quality_features(norm: str, stopwords: tuple[str, ...] | None = None) -> 
         "bullet_line_ratio": n_bullet / n_lines,
         "ellipsis_line_ratio": n_ellipsis / n_lines,
         "dup_line_ratio": n_dup / n_lines,
+        **py_script_features(norm),
+        "distinct_char_4gram_ratio": py_distinct_char_ngram_ratio(norm),
         **py_repetition_features(ws, n_chars),
     }
 

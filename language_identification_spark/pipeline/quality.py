@@ -58,6 +58,10 @@ FUSED_STRUCT = T.StructType(
         T.StructField("bullet_line_ratio", T.DoubleType()),
         T.StructField("ellipsis_line_ratio", T.DoubleType()),
         T.StructField("dup_line_ratio", T.DoubleType()),
+        T.StructField("n_cjk", T.IntegerType()),
+        T.StructField("n_script_letters", T.IntegerType()),
+        T.StructField("is_cjk", T.BooleanType()),
+        T.StructField("distinct_char_4gram_ratio", T.DoubleType()),
     ]
     + [
         T.StructField(f"top_{n}gram_char_frac", T.DoubleType()) for n in TOP_NGRAM_NS

@@ -31,6 +31,17 @@ MIN_STOPWORD_RATIO = 0.01
 MAX_BULLET_LINE_RATIO = 0.9
 MAX_ELLIPSIS_LINE_RATIO = 0.3
 MAX_DUP_LINE_RATIO = 0.3
+# Per-script routing (r6, VERDICT r5 ask #4): every rule above is
+# word-based on ASCII-whitespace tokens, but genuine CJK prose has no
+# spaces — n_words ≈ n_lines, so MIN_WORDS / stopword-ratio /
+# mean-word-len systematically misjudge it (CCNet/Gopher are explicit
+# that their word rules assume space-delimited scripts). Docs whose
+# letters are CJK-majority (``is_cjk``) skip the four word-shape rules
+# and get char-based substitutes instead: a CJK-letter length floor and
+# a char-4-gram diversity floor (the char-level repetition signal —
+# spam pages repeat the same char windows; genuine prose does not).
+MIN_CJK_CHARS = 25
+MIN_CJK_DISTINCT_CHAR_4GRAM_RATIO = 0.3
 # Gopher §A1.1 repetition bounds (r5): chars covered by the most frequent
 # word n-gram (n=2,3,4; counted only when it occurs ≥2 times — see
 # text._top_gram_chars) and chars inside duplicated word n-grams
@@ -67,31 +78,13 @@ def __getattr__(name: str):
 
 
 def keep_expr() -> Column:
-    """Native Spark SQL keep predicate over the pipeline's columns."""
-    return (
-        (F.col("n_chars") >= MIN_CHARS)
-        & (F.col("n_chars") <= MAX_CHARS)
-        & (F.col("n_words") >= MIN_WORDS)
-        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
-        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
-        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
-        & (F.col("distinct_word_ratio") >= MIN_DISTINCT_WORD_RATIO)
-        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
-        & (F.col("bullet_line_ratio") <= MAX_BULLET_LINE_RATIO)
-        & (F.col("ellipsis_line_ratio") <= MAX_ELLIPSIS_LINE_RATIO)
-        & (F.col("dup_line_ratio") <= MAX_DUP_LINE_RATIO)
-        & _rep_expr()
-        & (F.col("lang_conf") >= MIN_LANG_CONF)
-        & (F.col("perplexity") <= MAX_PERPLEXITY)
-    )
-
-
-def _rep_expr() -> Column:
+    """Native Spark SQL keep predicate — generated from RULE_SPECS (with
+    per-script guards), so it cannot drift from ``drop_reason_expr``:
+    keep ⇔ no applicable rule fails ⇔ drop reason IS NULL."""
     cond = F.lit(True)
-    for n, t in MAX_TOP_NGRAM_CHAR_FRAC.items():
-        cond = cond & (F.col(f"top_{n}gram_char_frac") <= t)
-    for n, t in MAX_DUP_NGRAM_CHAR_FRAC.items():
-        cond = cond & (F.col(f"dup_{n}gram_char_frac") <= t)
+    for reason, col, op, t in RULE_SPECS:
+        fail = (F.col(col) < F.lit(t)) if op == "<" else (F.col(col) > F.lit(t))
+        cond = cond & ~(_guard_expr(reason) & fail)
     return cond
 
 
@@ -117,6 +110,13 @@ RULE_SPECS: list[tuple[str, str, str, float]] = (
         ("symbol_ratio_high", "symbol_ratio", ">", MAX_SYMBOL_RATIO),
         ("distinct_word_ratio_low", "distinct_word_ratio", "<", MIN_DISTINCT_WORD_RATIO),
         ("stopword_ratio_low", "stopword_ratio", "<", MIN_STOPWORD_RATIO),
+        ("cjk_too_few_cjk_chars", "n_cjk", "<", MIN_CJK_CHARS),
+        (
+            "cjk_char_repetition_high",
+            "distinct_char_4gram_ratio",
+            "<",
+            MIN_CJK_DISTINCT_CHAR_4GRAM_RATIO,
+        ),
         ("bullet_line_ratio_high", "bullet_line_ratio", ">", MAX_BULLET_LINE_RATIO),
         ("ellipsis_line_ratio_high", "ellipsis_line_ratio", ">", MAX_ELLIPSIS_LINE_RATIO),
         ("dup_line_ratio_high", "dup_line_ratio", ">", MAX_DUP_LINE_RATIO),
@@ -136,6 +136,48 @@ RULE_SPECS: list[tuple[str, str, str, float]] = (
 )
 
 
+# Per-script applicability of each rule (reason → guard). "word": the
+# rule assumes space-delimited tokens — skipped for CJK-majority docs.
+# "cjk": the char-based substitute — applies ONLY to CJK-majority docs.
+# Absent: applies to every doc. ``is_cjk`` itself is a feature column
+# (letters are CJK-majority; see functions/text.with_quality_columns).
+RULE_GUARDS: dict[str, str] = {
+    "too_few_words": "word",
+    "mean_word_len_low": "word",
+    "mean_word_len_high": "word",
+    "stopword_ratio_low": "word",
+    "cjk_too_few_cjk_chars": "cjk",
+    "cjk_char_repetition_high": "cjk",
+}
+
+
+def _guard_expr(reason: str) -> Column:
+    g = RULE_GUARDS.get(reason)
+    if g == "word":
+        return ~F.col("is_cjk")
+    if g == "cjk":
+        return F.col("is_cjk")
+    return F.lit(True)
+
+
+def _guard_sql(reason: str) -> str:
+    g = RULE_GUARDS.get(reason)
+    if g == "word":
+        return "NOT is_cjk AND "
+    if g == "cjk":
+        return "is_cjk AND "
+    return ""
+
+
+def _py_guard(reason: str, is_cjk: bool) -> bool:
+    g = RULE_GUARDS.get(reason)
+    if g == "word":
+        return not is_cjk
+    if g == "cjk":
+        return is_cjk
+    return True
+
+
 def _specs(include_model_rules: bool) -> list[tuple[str, str, str, float]]:
     if include_model_rules:
         return RULE_SPECS
@@ -148,7 +190,8 @@ def drop_reason_expr(include_model_rules: bool = True) -> Column:
     (the shape usable before langid/perplexity have run)."""
     expr = None
     for reason, col, op, t in _specs(include_model_rules):
-        cond = (F.col(col) < F.lit(t)) if op == "<" else (F.col(col) > F.lit(t))
+        fail = (F.col(col) < F.lit(t)) if op == "<" else (F.col(col) > F.lit(t))
+        cond = _guard_expr(reason) & fail
         expr = F.when(cond, F.lit(reason)) if expr is None else expr.when(cond, F.lit(reason))
     return expr.otherwise(F.lit(None).cast("string"))
 
@@ -156,32 +199,34 @@ def drop_reason_expr(include_model_rules: bool = True) -> Column:
 def drop_reason_sql(include_model_rules: bool = True) -> str:
     """DuckDB twin of :func:`drop_reason_expr`, generated from RULE_SPECS."""
     whens = "\n".join(
-        f"WHEN {col} {op} {t} THEN '{reason}'"
+        f"WHEN {_guard_sql(reason)}{col} {op} {t} THEN '{reason}'"
         for reason, col, op, t in _specs(include_model_rules)
     )
     return f"CASE {whens} ELSE NULL END"
 
 
+def py_drop_reason(
+    feats: dict, lang_conf: float | None = None, perplexity: float | None = None
+) -> str | None:
+    """Oracle-side twin of :func:`drop_reason_expr`: first failing rule in
+    contract order, None when kept. Model rules are evaluated only when
+    lang_conf/perplexity are supplied (the pre-model heuristic shape
+    otherwise — same contract as ``include_model_rules=False``)."""
+    vals = dict(feats)
+    if lang_conf is not None:
+        vals["lang_conf"] = lang_conf
+    if perplexity is not None:
+        vals["perplexity"] = perplexity
+    is_cjk = bool(feats["is_cjk"])
+    for reason, col, op, t in _specs(lang_conf is not None):
+        if not _py_guard(reason, is_cjk):
+            continue
+        v = vals[col]
+        if (v < t) if op == "<" else (v > t):
+            return reason
+    return None
+
+
 def py_keep(feats: dict, lang_conf: float, perplexity: float) -> bool:
-    """Oracle-side twin of :func:`keep_expr`."""
-    return (
-        MIN_CHARS <= feats["n_chars"] <= MAX_CHARS
-        and feats["n_words"] >= MIN_WORDS
-        and MIN_MEAN_WORD_LEN <= feats["mean_word_len"] <= MAX_MEAN_WORD_LEN
-        and feats["symbol_ratio"] <= MAX_SYMBOL_RATIO
-        and feats["distinct_word_ratio"] >= MIN_DISTINCT_WORD_RATIO
-        and feats["stopword_ratio"] >= MIN_STOPWORD_RATIO
-        and feats["bullet_line_ratio"] <= MAX_BULLET_LINE_RATIO
-        and feats["ellipsis_line_ratio"] <= MAX_ELLIPSIS_LINE_RATIO
-        and feats["dup_line_ratio"] <= MAX_DUP_LINE_RATIO
-        and all(
-            feats[f"top_{n}gram_char_frac"] <= t
-            for n, t in MAX_TOP_NGRAM_CHAR_FRAC.items()
-        )
-        and all(
-            feats[f"dup_{n}gram_char_frac"] <= t
-            for n, t in MAX_DUP_NGRAM_CHAR_FRAC.items()
-        )
-        and lang_conf >= MIN_LANG_CONF
-        and perplexity <= MAX_PERPLEXITY
-    )
+    """Oracle-side twin of :func:`keep_expr` (same RULE_SPECS fold)."""
+    return py_drop_reason(feats, lang_conf, perplexity) is None

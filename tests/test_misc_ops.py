@@ -176,9 +176,11 @@ def test_repetition_columns_native_matches_python(spark):
         "p q r s t u p q r s t u p q r s t u",  # long phrase ×3
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
-    keys = [f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS] + [
-        f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS
-    ]
+    keys = (
+        [f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS]
+        + [f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS]
+        + ["distinct_char_4gram_ratio"]
+    )
     for mode in ("arrow", "hof"):
         out = {r["i"]: r for r in with_repetition_columns(df, "t", mode).collect()}
         for i, t in enumerate(texts):
@@ -619,6 +621,8 @@ def test_drop_reason_matches_keep(spark):
     )
     for c in int_cols:
         pdf[c] = pdf[c].astype("int64")
+    # r6 per-script routing: random is_cjk exercises both guard branches
+    pdf["is_cjk"] = rng.integers(0, 2, len(pdf)).astype(bool)
     df = spark.createDataFrame(pdf)
     got = df.select(
         rules.keep_expr().alias("kept"),
@@ -648,6 +652,7 @@ def test_drop_reason_first_fail_order(spark):
         else:
             row.setdefault(col, float(t) * 10)
     assert set(row) == plan_cols
+    row["is_cjk"] = False
     df = spark.createDataFrame(pd.DataFrame([row]))
     got = df.select(rules.drop_reason_expr().alias("r")).first()
     assert got["r"] == rules.RULE_SPECS[0][0]
@@ -1317,3 +1322,59 @@ def test_bloom_paragraph_scrub(spark):
             "", 2, 2
         )
         assert (got[4]["text"], got[4]["n_dropped"]) == ("fresh x\n", 1)
+
+
+def test_cjk_routing_fixes_word_rule_misjudgement(spark):
+    """r6 per-script keep routing (VERDICT r5 ask #4): a genuine space-free
+    zh doc fails every word-based rule (n_words == 1), which is exactly the
+    misclassification the old rule set produced; the cjk route keeps it.
+    Char-level spam is dropped by the cjk substitute rule. A latin doc that
+    drops its spaces is garbage and still drops. Asserted through BOTH the
+    Python twin and the native Spark predicate."""
+    import pandas as pd
+
+    from language_identification_spark.fixtures.pages import gen_pages
+    from language_identification_spark.functions.text import (
+        py_quality_features,
+        with_quality_columns,
+    )
+    from language_identification_spark.pipeline.rules import (
+        MIN_WORDS,
+        drop_reason_expr,
+        py_drop_reason,
+    )
+
+    pdf = gen_pages(n_rows=800, seed=42)
+    cases = {}  # (mode, lang) -> expected heuristic drop reason
+    expected = {
+        (12, "zh"): None,                         # genuine CJK prose: KEEP
+        (13, "zh"): "cjk_char_repetition_high",   # char spam: cjk rule
+        (12, "en"): "too_few_words",              # latin w/o spaces: garbage
+    }
+    rows = []
+    for i, row in pdf.iterrows():
+        key = (i % 20, row["lang"])
+        if key in expected and key not in cases:
+            cases[key] = row["text"].strip()
+            rows.append((f"{key[0]}-{key[1]}", row["text"].strip()))
+    assert set(cases) == set(expected)
+
+    for key, norm in cases.items():
+        feats = py_quality_features(norm)
+        assert py_drop_reason(feats) == expected[key], key
+        if key[1] == "zh":
+            # the misjudgement the routing fixes: word tokenization sees
+            # one giant token, so the OLD word rules would have dropped it
+            assert feats["n_words"] < MIN_WORDS
+            assert feats["is_cjk"]
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "norm_text"]))
+    out = {
+        r["k"]: r["reason"]
+        for r in with_quality_columns(df)
+        .select("k", drop_reason_expr(include_model_rules=False).alias("reason"))
+        .collect()
+    }
+    assert out["12-zh"] is None
+    assert out["13-zh"] == "cjk_char_repetition_high"
+    assert out["12-en"] == "too_few_words"

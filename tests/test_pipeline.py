@@ -120,6 +120,7 @@ def test_fused_matches_native(spark, pages_df, spark_models):
             "bullet_line_ratio", "ellipsis_line_ratio", "dup_line_ratio"]
     cols += [f"top_{n}gram_char_frac" for n in TOP_NGRAM_NS]
     cols += [f"dup_{n}gram_char_frac" for n in DUP_NGRAM_NS]
+    cols += ["n_cjk", "n_script_letters", "is_cjk", "distinct_char_4gram_ratio"]
     a = sorted(map(tuple, native.select(cols).collect()))
     b = sorted(map(tuple, fused.select(cols).collect()))
     assert a == b
@@ -145,17 +146,20 @@ def test_custom_stopword_lexicon_flows_through(spark, pages_df, pages_pdf):
 
     native = run_quality_pipeline(spark, pages_df, models)
     fused = run_quality_pipeline(spark, pages_df, models, heuristics="fused")
-    cols = ["url", "stopword_ratio", "keep"]
+    cols = ["url", "stopword_ratio", "keep", "is_cjk"]
     a = sorted(map(tuple, native.select(cols).collect()))
     b = sorted(map(tuple, fused.select(cols).collect()))
     assert a == b
     assert all(r[1] == 0.0 for r in a)   # no doc contains the absurd words
-    assert not any(r[2] for r in a)      # stop-word rule drops everything
+    # the stop-word rule drops every word-routed doc; CJK-majority docs
+    # are exempt from it by design (r6 per-script routing)
+    assert not any(r[2] for r in a if not r[3])
+    assert any(r[3] for r in a)          # the fixture does carry cjk docs
 
     train = pages_pdf[pages_pdf["split"] == "train"][["text", "lang"]]
     nb, lm = oracle_train(train)
     o = oracle_run(pages_pdf, nb, lm, stopwords=absurd)
-    assert not o["keep"].any()
+    assert not o[~o["is_cjk"]]["keep"].any()
     assert (o["stopword_ratio"] == 0.0).all()
 
 
