@@ -1249,6 +1249,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
         return chunk_documents(d, chunk=32, stride=24)
 
+    def sequence_packing_bpe(spark, sf):
+        # r6 (VERDICT r5 ask #5): tokenizer-faithful packing — the SAME
+        # window recurrence, but the stream length is token_count_bpe
+        # (the BPE_REGEX token count the trainer would see), not
+        # whitespace words.
+        from language_identification_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "source", token_count_bpe(F.col("text")).alias("n_tokens")
+        )
+        return pack_sequences(d, seq_len=256, shard_col="source").select(
+            "doc_id", "source", "n_tokens",
+            "pack_id", "pack_offset", "spans_packs",
+        )
+
+    def doc_chunks_bpe(spark, sf):
+        # r6: chunk grid over the BPE token stream (chunk_text is the
+        # space-joined token sequence — the training-example shape).
+        from language_identification_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+        return chunk_documents(d, chunk=32, stride=24, tokenizer="bpe")
+
     def snapshot_diff(spark, sf):
         # r5 net-new: crawl-refresh diff (operators/snapshots). The two
         # snapshots are synthesized from the documents table: the new
@@ -2038,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within two rounds: r6 leads with the 38 names absent from
         # CORRECTNESS_r05.json, then the r5-green names re-queue.
         "cjk_quality_rules": cjk_quality_rules,
+        "sequence_packing_bpe": sequence_packing_bpe,
+        "doc_chunks_bpe": doc_chunks_bpe,
         "pr_sweep": pr_sweep,
         "corpus_shuffle": corpus_shuffle,
         "span_dedup": span_dedup,
@@ -3708,6 +3737,22 @@ def oracle_sql() -> dict[str, str]:
             chunk=32,
             stride=24,
             table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+        ),
+        "sequence_packing_bpe": _packing_mod().pack_sequences_sql(
+            seq_len=256,
+            table="""(
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS n_tokens
+              FROM documents)""",
+            cols="doc_id, source, n_tokens",
+            shard_col="source",
+        ),
+        "doc_chunks_bpe": _packing_mod().chunk_documents_sql(
+            chunk=32,
+            stride=24,
+            table="(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+            tokenizer="bpe",
         ),
         "dedup_lines": """
           WITH planted AS (

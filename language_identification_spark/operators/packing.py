@@ -33,10 +33,31 @@ doc, bounded and predictable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WS_SPARK = "[ \\t\\n]+"
+
+# r6 (VERDICT r5 ask #5): training-data packing counts BPE tokens, not
+# whitespace words. Both operators take a tokenizer: pack_sequences is
+# already length-agnostic (pass token_count_bpe as n_tokens_col);
+# chunk_documents gains tokenizer='bpe' so the chunk grid is laid over
+# the same token stream the packer counts. BPE chunk_text re-joins the
+# tokens with ' ' (a token sequence, not a substring of the original —
+# the training-example shape, where tokens are the unit anyway).
+
+
+def _tokenize(text_col: str, tokenizer: str) -> Column:
+    from ..functions.analysis import BPE_REGEX
+
+    t = F.trim(F.col(text_col))
+    if tokenizer == "ws":
+        return F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, WS_SPARK)
+        )
+    if tokenizer == "bpe":
+        return F.regexp_extract_all(t, F.lit(BPE_REGEX), F.lit(0))
+    raise ValueError(f"unknown tokenizer: {tokenizer!r}")
 
 
 def pack_sequences(
@@ -126,6 +147,7 @@ def chunk_documents(
     stride: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Explode each document into sliding ``chunk``-token windows every
     ``stride`` tokens (default stride = chunk, i.e. disjoint chunks).
@@ -133,20 +155,20 @@ def chunk_documents(
     Output: (``id_col``, chunk_idx, start_token, n_chunk_tokens,
     chunk_text). Empty/whitespace-only docs produce zero rows. The last
     chunk may be short; a doc shorter than ``chunk`` yields exactly one
-    chunk. Tokens are whitespace-delimited (the same ``[ \\t\\n]+``
-    contract as token_count_ws, proven cross-engine by the token gate).
+    chunk. ``tokenizer='ws'``: whitespace-delimited (the same
+    ``[ \\t\\n]+`` contract as token_count_ws, proven cross-engine by the
+    token gate); ``tokenizer='bpe'``: the BPE_REGEX token stream (the
+    same count token_count_bpe reports, so chunk lengths agree with the
+    packer's ``n_tokens``).
     """
     if chunk <= 0:
         raise ValueError(f"chunk must be positive, got {chunk}")
     stride = chunk if stride is None else stride
     if not 0 < stride <= chunk:
         raise ValueError(f"need 0 < stride <= chunk, got stride={stride}")
-    toks = F.split(F.trim(F.col(text_col)), WS_SPARK)
-    df = df.withColumn(
-        "_toks",
-        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
-        .otherwise(toks),
-    ).withColumn("_n", F.size("_toks"))
+    df = df.withColumn("_toks", _tokenize(text_col, tokenizer)).withColumn(
+        "_n", F.size("_toks")
+    )
     # starts: 0, stride, 2*stride, ... strictly below n, EXCEPT that a
     # start whose window would sit entirely inside the previous window
     # (start >= n already excluded; start > 0 and start >= n is the only
@@ -176,15 +198,24 @@ def chunk_documents_sql(
     table: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "ws",
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` (same start grid, same
     1-based inclusive slice arithmetic via list_slice)."""
+    if tokenizer == "ws":
+        tok_sql = f"""CASE WHEN trim({text_col}) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim({text_col}), '[ \\t\\n]+')
+               END"""
+    elif tokenizer == "bpe":
+        from ..functions.analysis import BPE_REGEX
+
+        tok_sql = f"regexp_extract_all(trim({text_col}), '{BPE_REGEX}')"
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     return f"""
       WITH toks AS (
         SELECT {id_col},
-               CASE WHEN trim({text_col}) = '' THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim({text_col}), '[ \\t\\n]+')
-               END AS t
+               {tok_sql} AS t
         FROM {table}
       ),
       st AS (

@@ -1378,3 +1378,58 @@ def test_cjk_routing_fixes_word_rule_misjudgement(spark):
     assert out["12-zh"] is None
     assert out["13-zh"] == "cjk_char_repetition_high"
     assert out["12-en"] == "too_few_words"
+
+
+def test_bpe_tokenizer_packing_and_chunking(spark):
+    """r6 (VERDICT r5 ask #5): packing/chunking over the BPE token stream.
+    Invariants: chunk capacity respected, every BPE token covered exactly
+    once by the disjoint grid positions, chunk lengths sum to the same
+    count token_count_bpe reports (so the packer and the chunker agree on
+    document length), and pack offsets stay inside the window."""
+    import pandas as pd
+
+    from language_identification_spark.functions.analysis import token_count_bpe
+    from language_identification_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    texts = [
+        "Hello, world! 123 foo_bar",          # punct + digits split
+        "a" * 100 + " b2c3 " + "!" * 10,      # long runs + symbol burst
+        "",                                    # empty
+        "   \t\n ",                            # whitespace only
+        "word " * 40,                          # ws-token == bpe-token case
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).withColumn("source", F.lit("s0"))
+
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count_bpe("text").alias("n")).collect()
+    }
+    chunks = chunk_documents(df, chunk=7, stride=7, tokenizer="bpe").collect()
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        assert 0 < r["n_chunk_tokens"] <= 7
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(len(texts)):
+        got = sum(r["n_chunk_tokens"] for r in per_doc.get(i, []))
+        assert got == counts[i], (i, got, counts[i])
+        starts = sorted(r["start_token"] for r in per_doc.get(i, []))
+        assert starts == [7 * k for k in range(len(starts))]  # disjoint grid
+
+    packed = pack_sequences(
+        df.select("doc_id", "source", token_count_bpe("text").alias("n_tokens")),
+        seq_len=16,
+        shard_col="source",
+    ).collect()
+    total = 0
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        assert r["pack_offset"] == total % 16
+        assert r["pack_id"] == total // 16
+        assert r["spans_packs"] == (
+            r["n_tokens"] > 0 and (total + r["n_tokens"] - 1) // 16 > total // 16
+        )
+        total += r["n_tokens"]
