@@ -1380,29 +1380,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, n_iter=3)
 
     def refresh_pipeline(spark, sf):
-        # r5 composition gate #2 — the corpus-REFRESH chain as ONE
-        # query: snapshot_diff scopes the new crawl down to
-        # added/changed urls (removed/unchanged never touch the
-        # pipeline), then only the scoped docs pay quality filtering
-        # (word bounds) + native PII scrub. Pins that the diff's status
-        # column composes with the filter/scrub contracts.
+        # r5 composition gate #2 (extended r6, VERDICT r5 ask #6) — the
+        # corpus-REFRESH chain as ONE query: snapshot_diff scopes the new
+        # crawl down to added/changed urls (removed/unchanged never touch
+        # the pipeline); the scoped docs are content-deduped against a
+        # PERSISTED corpus Bloom filter (save→load round trip inside the
+        # gate — the build-once/consume-later lifecycle; half the 'added'
+        # urls carry content already in the corpus and must drop even
+        # though their url is new); survivors pay quality filtering
+        # (word bounds) + native PII scrub. The Bloom stage is exact by
+        # the no-false-negative argument, so the DuckDB twin is a plain
+        # NOT IN on text.
+        import os
+        import tempfile
+
         from language_identification_spark.functions.scrub import (
             scrub_native,
         )
         from language_identification_spark.functions.text import words
         from language_identification_spark.operators import snapshots
+        from language_identification_spark.operators.bloom import (
+            bloom_incremental_dedup,
+            build_bloom,
+            load_bloom,
+            save_bloom,
+        )
 
         d = _t(spark, sf, "documents")
         old = d.select("doc_id", "text")
         changed = F.when(
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
         ).otherwise(F.col("text"))
+        added_text = F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" fresh"))
+        ).otherwise(F.col("text"))
         new = (
             d.filter(F.col("doc_id") % 11 != 0)
             .select("doc_id", changed.alias("text"))
             .unionAll(
                 d.filter(F.col("doc_id") % 13 == 0).select(
-                    (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    added_text.alias("text"),
                 )
             )
         )
@@ -1413,8 +1431,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "doc_id",
         )
+        digests = old.select(F.sha2(F.col("text"), 256).alias("digest"))
+        bloom_path = os.path.join(
+            tempfile.gettempdir(), f"refresh_bloom_{os.path.basename(sf.rstrip('/'))}"
+        )
+        save_bloom(build_bloom(digests, "digest", m_bits=1 << 17, k=5), bloom_path)
+        deduped = bloom_incremental_dedup(
+            scoped, corpus_digests=digests, bloom=load_bloom(spark, bloom_path)
+        )
         return (
-            scoped.withColumn("n_words", F.size(words(F.col("text"))))
+            deduped.withColumn("n_words", F.size(words(F.col("text"))))
             .filter(F.col("n_words") >= 3)
             .select(
                 "doc_id",
@@ -3823,7 +3849,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE text END AS text
             FROM documents WHERE doc_id % 11 <> 0
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, text
+            SELECT doc_id + 1000000 AS doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN text || ' fresh'
+                        ELSE text END AS text
             FROM documents WHERE doc_id % 13 = 0
           ),
           diff AS (
@@ -3836,9 +3864,14 @@ def oracle_sql() -> dict[str, str]:
         + """
           ),
           scoped AS (
+            -- Bloom content-dedup is exact (no false negatives; maybes
+            -- are verified), so the twin is a plain NOT EXISTS on text
             SELECT n.doc_id, d.status, n.text
             FROM nw n JOIN diff d USING (doc_id)
             WHERE d.status IN ('added', 'changed')
+              AND NOT EXISTS (
+                SELECT 1 FROM documents o WHERE o.text = n.text
+              )
           ),
           counted AS (
             SELECT doc_id, status, text,

@@ -323,3 +323,65 @@ def bloom_paragraph_scrub(
         )
     )
     return untouched.unionAll(affected).unionAll(all_dropped)
+
+
+# ---------------------------------------------------------------------------
+# Filter lifecycle as data (r6, VERDICT r5 ask #6): the module's
+# build-once/merge-across-shards argument, realized as operators — a
+# shard-parallel merge and a persist/load round trip so a corpus
+# version's filter is built once and every later refresh run consumes
+# the TABLE, not a rebuild.
+# ---------------------------------------------------------------------------
+def merge_blooms(*blooms: BloomFilter) -> BloomFilter:
+    """Union of filters built with IDENTICAL (m_bits, k, seed) — the
+    shard-parallel build path (one filter per crawl shard, merged once).
+    ``bit_or`` is associative and commutative, so the merged table is
+    EXACTLY the table :func:`build_bloom` would produce over the
+    concatenated inputs (pinned by
+    tests/test_misc_ops.py::test_bloom_merge_and_persist_lifecycle),
+    and therefore probing it preserves the no-false-negative guarantee.
+    Parameter mismatch raises: merging incompatible filters would void
+    that guarantee silently."""
+    if not blooms:
+        raise ValueError("need at least one BloomFilter")
+    params = {(b.m_bits, b.k, b.seed) for b in blooms}
+    if len(params) > 1:
+        raise ValueError(
+            f"cannot merge filters with differing (m_bits, k, seed): {sorted(params)}"
+        )
+    if len(blooms) == 1:
+        return blooms[0]
+    t = blooms[0].table
+    for b in blooms[1:]:
+        t = t.unionAll(b.table)
+    merged = t.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    return BloomFilter(merged, blooms[0].m_bits, blooms[0].k, blooms[0].seed)
+
+
+def save_bloom(bloom: BloomFilter, path: str) -> None:
+    """Persist the filter as ONE parquet table with the build parameters
+    embedded as constant columns — the parameters travel WITH the bits
+    (same invariant as the in-memory wrapper), so a reader can never
+    probe with the wrong (m_bits, k, seed)."""
+    bloom.table.select(
+        "word_idx",
+        "bits",
+        F.lit(bloom.m_bits).alias("m_bits"),
+        F.lit(bloom.k).alias("k"),
+        F.lit(bloom.seed).alias("seed"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    """Load a :func:`save_bloom` table back into a probe-able
+    :class:`BloomFilter`. Refuses a table with mixed parameter rows
+    (e.g. two different filters' files concatenated into one directory)
+    — that corruption would silently void no-false-negatives."""
+    df = spark.read.parquet(path)
+    metas = df.select("m_bits", "k", "seed").distinct().limit(2).collect()
+    if len(metas) != 1:
+        raise ValueError(f"bloom table at {path} has mixed parameters: {metas}")
+    m = metas[0]
+    return BloomFilter(
+        df.select("word_idx", "bits"), int(m["m_bits"]), int(m["k"]), int(m["seed"])
+    )

@@ -1433,3 +1433,66 @@ def test_bpe_tokenizer_packing_and_chunking(spark):
             r["n_tokens"] > 0 and (total + r["n_tokens"] - 1) // 16 > total // 16
         )
         total += r["n_tokens"]
+
+
+def test_bloom_merge_and_persist_lifecycle(spark, tmp_path):
+    """r6 (VERDICT r5 ask #6): (a) merging per-shard filters is EXACTLY
+    the filter built over the concatenated shards (bit_or associativity)
+    — table-identical, hence probe-identical; (b) parameter mismatch
+    refuses to merge; (c) a save→load parquet round trip preserves the
+    parameters and the probe output; (d) load refuses a mixed-parameter
+    table."""
+    from language_identification_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+        load_bloom,
+        merge_blooms,
+        save_bloom,
+    )
+
+    vals = spark.range(300).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("digest"), F.col("id")
+    )
+    shards = [vals.filter(F.col("id") % 3 == i).select("digest") for i in range(3)]
+    parts = [build_bloom(s, "digest", m_bits=1 << 12, k=5) for s in shards]
+    merged = merge_blooms(*parts)
+    rebuilt = build_bloom(vals.select("digest"), "digest", m_bits=1 << 12, k=5)
+    a = sorted(map(tuple, merged.table.collect()))
+    b = sorted(map(tuple, rebuilt.table.collect()))
+    assert a == b  # table-identical, not merely probe-identical
+
+    probe = spark.range(200, 400).select(
+        F.col("id").alias("k"), F.concat(F.lit("doc-"), F.col("id")).alias("digest")
+    )
+    flags = {
+        r["k"]: r["maybe_in_bloom"]
+        for r in bloom_maybe_contains(probe, merged, "digest", "k").collect()
+    }
+    # no false negatives: every inserted digest (id < 300) must flag true
+    assert all(flags[k] for k in range(200, 300))
+
+    other = build_bloom(shards[0], "digest", m_bits=1 << 12, k=4)
+    with pytest.raises(ValueError, match="differing"):
+        merge_blooms(parts[0], other)
+
+    path = str(tmp_path / "bloom")
+    save_bloom(merged, path)
+    loaded = load_bloom(spark, path)
+    assert (loaded.m_bits, loaded.k, loaded.seed) == (
+        merged.m_bits, merged.k, merged.seed,
+    )
+    flags2 = {
+        r["k"]: r["maybe_in_bloom"]
+        for r in bloom_maybe_contains(probe, loaded, "digest", "k").collect()
+    }
+    assert flags2 == flags
+
+    bad = str(tmp_path / "bloom_bad")
+    save_bloom(merged, bad)
+    other_rows = other.table.select(
+        "word_idx", "bits", F.lit(other.m_bits).alias("m_bits"),
+        F.lit(other.k).alias("k"), F.lit(other.seed).alias("seed"),
+    )
+    other_rows.write.mode("append").parquet(bad)
+    with pytest.raises(ValueError, match="mixed"):
+        load_bloom(spark, bad)
