@@ -42,16 +42,23 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class BloomFilter:
     """A built filter: the (word_idx, bits) table PLUS the (m_bits, k,
-    seed) that built it. Probing with different parameters than the
-    build silently voids the no-false-negative guarantee (true dups
+    seed, scheme) that built it. Probing with different parameters than
+    the build silently voids the no-false-negative guarantee (true dups
     would probe 'definitely new' and skip the exact verify), so the
     parameters travel WITH the table and the probe paths only accept
-    this wrapper — a bare DataFrame cannot be probed."""
+    this wrapper — a bare DataFrame cannot be probed.
+
+    ``scheme``: 'xxhash64' (default — JVM codegen, fastest, JVM-only) or
+    'sha256' (r6 portable scheme: positions derived from sha2 hex, which
+    Python can reproduce bit-for-bit with hashlib — required when the
+    filter is collected to a bitmap and probed inside pandas UDFs, e.g.
+    the streaming paragraph scrub)."""
 
     table: DataFrame
     m_bits: int
     k: int
     seed: int
+    scheme: str = "xxhash64"
 
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -68,15 +75,92 @@ def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(col, m_bits: int, k: int, seed: int):
-    """The k bit positions of one value: pmod(xxhash64(value, seed+i),
-    m_bits). xxhash64 is JVM-side codegen — no Python in the hot path."""
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(m_bits))
-            for i in range(k)
-        ]
-    )
+def _positions(col, m_bits: int, k: int, seed: int, scheme: str = "xxhash64"):
+    """The k bit positions of one value. 'xxhash64':
+    pmod(xxhash64(value, seed+i), m_bits) — JVM-side codegen, no Python
+    in the hot path. 'sha256': the portable scheme — the first 15 hex
+    digits (60 bits) of sha2(value||'#'||(seed+i)) as an integer, mod
+    m_bits; :func:`py_bloom_positions` reproduces it exactly with
+    hashlib, so a collected bitmap can be probed from Python."""
+    if scheme == "xxhash64":
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    if scheme == "sha256":
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.concat(col, F.lit(f"#{seed + i}")), 256),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m_bits),
+                )
+                for i in range(k)
+            ]
+        )
+    raise ValueError(f"unknown bloom hash scheme: {scheme!r}")
+
+
+def py_bloom_positions(value: str, m_bits: int, k: int, seed: int = 0) -> list[int]:
+    """hashlib twin of the 'sha256' position scheme (bit-for-bit: same
+    utf-8 bytes, same lowercase hex prefix, same base-16 integer)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.sha256(f"{value}#{seed + i}".encode("utf-8")).hexdigest()[:15],
+            16,
+        )
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_to_bitmap(bloom: BloomFilter):
+    """Collect the (word_idx, bits) table into a dense uint64 numpy
+    bitmap for broadcast into Python workers (the Dolma serving shape:
+    the filter rides a broadcast, sized by m_bits — e.g. ~1.2 GB for
+    10 B docs at 1 % fpp — NEVER by corpus rows). Pair with
+    :func:`py_bloom_maybe`; requires the portable 'sha256' scheme."""
+    import numpy as np
+
+    if bloom.scheme != "sha256":
+        raise ValueError(
+            "bitmap probing needs the portable 'sha256' scheme; "
+            f"this filter was built with {bloom.scheme!r}"
+        )
+    arr = np.zeros(bloom.m_bits // 64, dtype=np.uint64)
+    for r in bloom.table.collect():
+        arr[r["word_idx"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def py_bloom_maybe(
+    values, bitmap, m_bits: int, k: int, seed: int = 0
+) -> list[bool]:
+    """Probe a collected bitmap from Python ('sha256' scheme): True =
+    maybe inserted, False = DEFINITELY not (the same no-false-negative
+    contract as :func:`bloom_maybe_contains`, pinned equal to the SQL
+    probe by tests/test_misc_ops.py::test_bloom_portable_scheme)."""
+    out = []
+    for v in values:
+        hit = True
+        for p in py_bloom_positions(v, m_bits, k, seed):
+            w, b = divmod(p, 64)
+            if not (int(bitmap[w]) >> b) & 1:
+                hit = False
+                break
+        out.append(hit)
+    return out
 
 
 def build_bloom(
@@ -85,6 +169,7 @@ def build_bloom(
     m_bits: int,
     k: int,
     seed: int = 0,
+    scheme: str = "xxhash64",
 ) -> BloomFilter:
     """:class:`BloomFilter` over ``values[value_col]``, table form =
     (word_idx, bits) 64-bit words. One explode (k rows per value, k is
@@ -93,7 +178,9 @@ def build_bloom(
     are all zero are absent from the table."""
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
-    pos = F.explode(_positions(F.col(value_col), m_bits, k, seed)).alias("pos")
+    pos = F.explode(_positions(F.col(value_col), m_bits, k, seed, scheme)).alias(
+        "pos"
+    )
     table = (
         values.select(pos)
         .select(
@@ -105,7 +192,7 @@ def build_bloom(
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    return BloomFilter(table, m_bits, k, seed)
+    return BloomFilter(table, m_bits, k, seed, scheme)
 
 
 def bloom_maybe_contains(
@@ -129,7 +216,9 @@ def bloom_maybe_contains(
     m_bits, k, seed = bloom.m_bits, bloom.k, bloom.seed
     exploded = probe.select(
         F.col(key_col),
-        F.explode(_positions(F.col(value_col), m_bits, k, seed)).alias("_pos"),
+        F.explode(
+            _positions(F.col(value_col), m_bits, k, seed, bloom.scheme)
+        ).alias("_pos"),
     ).select(
         key_col,
         (F.col("_pos") / 64).cast("long").alias("word_idx"),
@@ -344,10 +433,11 @@ def merge_blooms(*blooms: BloomFilter) -> BloomFilter:
     that guarantee silently."""
     if not blooms:
         raise ValueError("need at least one BloomFilter")
-    params = {(b.m_bits, b.k, b.seed) for b in blooms}
+    params = {(b.m_bits, b.k, b.seed, b.scheme) for b in blooms}
     if len(params) > 1:
         raise ValueError(
-            f"cannot merge filters with differing (m_bits, k, seed): {sorted(params)}"
+            "cannot merge filters with differing (m_bits, k, seed, scheme): "
+            f"{sorted(params)}"
         )
     if len(blooms) == 1:
         return blooms[0]
@@ -355,7 +445,8 @@ def merge_blooms(*blooms: BloomFilter) -> BloomFilter:
     for b in blooms[1:]:
         t = t.unionAll(b.table)
     merged = t.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
-    return BloomFilter(merged, blooms[0].m_bits, blooms[0].k, blooms[0].seed)
+    b0 = blooms[0]
+    return BloomFilter(merged, b0.m_bits, b0.k, b0.seed, b0.scheme)
 
 
 def save_bloom(bloom: BloomFilter, path: str) -> None:
@@ -369,6 +460,7 @@ def save_bloom(bloom: BloomFilter, path: str) -> None:
         F.lit(bloom.m_bits).alias("m_bits"),
         F.lit(bloom.k).alias("k"),
         F.lit(bloom.seed).alias("seed"),
+        F.lit(bloom.scheme).alias("scheme"),
     ).write.mode("overwrite").parquet(path)
 
 
@@ -378,10 +470,14 @@ def load_bloom(spark, path: str) -> BloomFilter:
     (e.g. two different filters' files concatenated into one directory)
     — that corruption would silently void no-false-negatives."""
     df = spark.read.parquet(path)
-    metas = df.select("m_bits", "k", "seed").distinct().limit(2).collect()
+    metas = df.select("m_bits", "k", "seed", "scheme").distinct().limit(2).collect()
     if len(metas) != 1:
         raise ValueError(f"bloom table at {path} has mixed parameters: {metas}")
     m = metas[0]
     return BloomFilter(
-        df.select("word_idx", "bits"), int(m["m_bits"]), int(m["k"]), int(m["seed"])
+        df.select("word_idx", "bits"),
+        int(m["m_bits"]),
+        int(m["k"]),
+        int(m["seed"]),
+        m["scheme"],
     )

@@ -1496,3 +1496,53 @@ def test_bloom_merge_and_persist_lifecycle(spark, tmp_path):
     other_rows.write.mode("append").parquet(bad)
     with pytest.raises(ValueError, match="mixed"):
         load_bloom(spark, bad)
+
+
+def test_bloom_portable_scheme(spark):
+    """r6: the 'sha256' portable scheme must give the SAME maybe flags
+    through the SQL probe (bloom_maybe_contains) and the Python bitmap
+    probe (bloom_to_bitmap + py_bloom_maybe) — the property the streaming
+    paragraph scrub builds on — and the SQL/hashlib position math must be
+    bit-identical (incl. non-ASCII values). xxhash64 filters refuse the
+    bitmap path."""
+    import pytest as _pytest
+
+    from language_identification_spark.operators.bloom import (
+        bloom_maybe_contains,
+        bloom_to_bitmap,
+        build_bloom,
+        py_bloom_maybe,
+        py_bloom_positions,
+    )
+
+    vals = [f"val-{i}" for i in range(80)] + ["你好 世界", "naïve café", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "digest string")
+    bloom = build_bloom(df, "digest", m_bits=1 << 10, k=4, seed=3, scheme="sha256")
+
+    # position math: SQL expression vs hashlib, value for value
+    from language_identification_spark.operators.bloom import _positions
+
+    got = df.select(
+        "digest", _positions(F.col("digest"), 1 << 10, 4, 3, "sha256").alias("p")
+    ).collect()
+    for r in got:
+        assert list(r["p"]) == py_bloom_positions(r["digest"], 1 << 10, 4, 3)
+
+    probe_vals = vals[:40] + [f"absent-{i}" for i in range(40)]
+    probe = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(probe_vals)], "k long, digest string"
+    )
+    sql_flags = {
+        r["k"]: r["maybe_in_bloom"]
+        for r in bloom_maybe_contains(probe, bloom, "digest", "k").collect()
+    }
+    bitmap = bloom_to_bitmap(bloom)
+    py_flags = dict(
+        enumerate(py_bloom_maybe(probe_vals, bitmap, 1 << 10, 4, 3))
+    )
+    assert sql_flags == py_flags
+    assert all(sql_flags[i] for i in range(40))  # no false negatives
+
+    xx = build_bloom(df, "digest", m_bits=1 << 10, k=4)
+    with _pytest.raises(ValueError, match="sha256"):
+        bloom_to_bitmap(xx)

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from language_identification_spark.pipeline.quality import (
     run_quality_pipeline,
     train_quality_models,
@@ -360,3 +362,103 @@ def test_streaming_near_dedup_ttl_bounds_state(spark, tmp_path):
     rows = spark.sql("SELECT * FROM near_ttl_test").collect()
     # nothing flagged: the original's state was evicted before the near-dup
     assert [r for r in rows if r["canonical_url"] == "u1"] == []
+
+
+def test_streaming_paragraph_scrub(spark, tmp_path):
+    """r6 (VERDICT r5 ask #7): streaming paragraph scrub. (a) a line
+    known to the CORPUS filter (broadcast bitmap + per-micro-batch exact
+    verify against the static digest table) is scrubbed wherever it
+    appears; (b) a PLANTED boilerplate line that only becomes frequent
+    across micro-batches is scrubbed from the later micro-batch onward
+    (min_docs reached); (c) a bloom false positive is saved by the exact
+    verify; (d) unique content survives.
+
+    TTL bounding uses the exact same ProcessingTimeTimeout eviction
+    4-liner as dedup_stream (pinned by test_stateful_dedup_ttl_eviction;
+    with a finite TTL the engine never quiesces under
+    processAllAvailable, so this functional test runs ttl_ms=None)."""
+    import os
+
+    import pandas as pd
+
+    from language_identification_spark.operators.bloom import build_bloom
+    from language_identification_spark.streaming.paragraph_scrub import (
+        paragraph_scrub_stream,
+        rebuild_docs,
+    )
+    from language_identification_spark.streaming.quality_stream import PAGES_SCHEMA
+
+    corpus_lines = ["subscribe to our newsletter", "all rights reserved"]
+    corpus = spark.createDataFrame(
+        [(l,) for l in corpus_lines], "line string"
+    )
+    digests = corpus.select(F.sha2("line", 256).alias("digest"))
+    # tiny m_bits forces real false positives; the verify must absorb them
+    bloom = build_bloom(corpus, "line", m_bits=256, k=3, scheme="sha256")
+
+    emergent = "cookie consent banner text"
+    ts = pd.Timestamp("2024-01-01", tz="UTC")
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "url": [u for u, _ in rows],
+                "warc_ts": [ts] * len(rows),
+                "html": [b""] * len(rows),
+                "text": [t for _, t in rows],
+                "lang": ["en"] * len(rows),
+                "split": ["train"] * len(rows),
+            }
+        )
+
+    src = str(tmp_path / "pscrub_src")
+    os.makedirs(src)
+    # batch 0: corpus boilerplate + 2 early sightings of the emergent line
+    pdf(
+        [
+            ("u1", f"unique alpha\nsubscribe to our newsletter\n{emergent}"),
+            ("u2", f"{emergent}\nunique beta"),
+        ]
+    ).to_parquet(f"{src}/part-0.parquet", index=False)
+    # batch 1: the emergent line reaches min_docs=3 here and must scrub
+    pdf(
+        [
+            ("u3", f"unique gamma\n{emergent}\nall rights reserved"),
+        ]
+    ).to_parquet(f"{src}/part-1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = paragraph_scrub_stream(stream, bloom, digests, min_docs=3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pscrub_test")
+        .option("checkpointLocation", str(tmp_path / "pscrub_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    verdicts = spark.sql("SELECT * FROM pscrub_test")
+    rows = {(r["url"], r["line"]): r for r in verdicts.collect()}
+
+    # (a) corpus boilerplate scrubbed with reason 'corpus'
+    assert rows[("u1", "subscribe to our newsletter")]["drop"]
+    assert rows[("u1", "subscribe to our newsletter")]["reason"] == "corpus"
+    assert rows[("u3", "all rights reserved")]["reason"] == "corpus"
+    # (b) the emergent line: early sightings kept, 3rd (later batch) scrubbed
+    assert not rows[("u1", emergent)]["drop"]
+    assert not rows[("u2", emergent)]["drop"]
+    assert rows[("u3", emergent)]["drop"]
+    assert rows[("u3", emergent)]["reason"] == "emergent"
+    # (c)+(d) unique lines survive (any bloom FP must be verified away)
+    for u, line in [("u1", "unique alpha"), ("u2", "unique beta"), ("u3", "unique gamma")]:
+        assert not rows[(u, line)]["drop"], (u, line)
+
+    rebuilt = {r["url"]: r for r in rebuild_docs(verdicts).collect()}
+    assert rebuilt["u3"]["text"] == "unique gamma"
+    assert rebuilt["u3"]["n_dropped"] == 2
+    assert rebuilt["u1"]["text"] == f"unique alpha\n{emergent}"
