@@ -218,3 +218,131 @@ def test_span_dedup_random_corpora_vs_python_oracle(spark):
         for r in remove_duplicate_spans(docs, k=K).collect()
     }
     assert got == exp
+
+
+def test_asof_join_random_vs_merge_asof_and_brute_force(spark):
+    """r6 (VERDICT r5 ask #8): asof_join on random tie-heavy inputs vs
+    TWO oracles — pandas.merge_asof (on a (key,ts)-unique right side,
+    its documented contract) for both allow_exact modes, and a pure
+    brute-force scan on the FULL tie-y right side to pin our tiebreak
+    rule (greatest tiebreak among right rows at the winning ts)."""
+    import random
+
+    import pandas as pd
+
+    from language_identification_spark.operators.asof import asof_join
+
+    rng = random.Random(77)
+    n_l, n_r = 300, 200
+    left = pd.DataFrame(
+        {
+            "lid": range(n_l),
+            "k": [rng.randint(0, 4) for _ in range(n_l)],
+            "t": [rng.randint(0, 30) for _ in range(n_l)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [rng.randint(0, 4) for _ in range(n_r)],
+            "t": [rng.randint(0, 30) for _ in range(n_r)],
+            "v": range(1000, 1000 + n_r),
+        }
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+
+    def brute(allow_exact):
+        out = {}
+        for _, lr in left.iterrows():
+            cand = right[
+                (right["k"] == lr["k"])
+                & (
+                    (right["t"] <= lr["t"])
+                    if allow_exact
+                    else (right["t"] < lr["t"])
+                )
+            ]
+            if len(cand):
+                best_t = cand["t"].max()
+                out[lr["lid"]] = int(cand[cand["t"] == best_t]["v"].max())
+            else:
+                out[lr["lid"]] = None
+        return out
+
+    # unique right side for the merge_asof oracle: max v per (k, t) —
+    # the same value our tiebreak rule selects
+    runiq = right.groupby(["k", "t"], as_index=False)["v"].max()
+
+    for allow_exact in (True, False):
+        got = {
+            r["lid"]: r["asof_v"]
+            for r in asof_join(
+                ldf, rdf, key="k", ts="t", payload_cols=["v"],
+                tiebreak="v", allow_exact=allow_exact,
+            ).collect()
+        }
+        want = brute(allow_exact)
+        assert got == want, f"brute-force mismatch (allow_exact={allow_exact})"
+        ma = pd.merge_asof(
+            left.sort_values(["t", "lid"], kind="mergesort"),
+            runiq.sort_values("t", kind="mergesort"),
+            on="t",
+            by="k",
+            direction="backward",
+            allow_exact_matches=allow_exact,
+        )
+        want2 = {
+            int(r["lid"]): (None if pd.isna(r["v"]) else int(r["v"]))
+            for _, r in ma.iterrows()
+        }
+        assert got == want2, f"merge_asof mismatch (allow_exact={allow_exact})"
+
+
+def test_interval_point_join_random_vs_brute_force(spark):
+    """r6 (VERDICT r5 ask #8): interval containment on random inputs —
+    empty and reversed intervals, boundary points (ts == start included,
+    ts == end excluded), multi-bin spans — vs a brute-force oracle, at a
+    bin width smaller than typical spans AND one larger than the whole
+    domain (both plans must give identical results)."""
+    import random
+
+    import pandas as pd
+
+    from language_identification_spark.operators.interval_join import (
+        interval_point_join,
+    )
+
+    rng = random.Random(78)
+    ivals = []
+    for i in range(150):
+        s = rng.randint(0, 100)
+        e = s + rng.randint(-3, 25)  # some empty/reversed
+        ivals.append((i, rng.randint(0, 3), s, e))
+    pts = [
+        (j, rng.randint(0, 3), rng.randint(0, 130)) for j in range(250)
+    ]
+    # plant exact-boundary points for every 10th interval
+    for i, k, s, e in ivals[::10]:
+        pts.append((1000 + i * 2, k, s))
+        pts.append((1001 + i * 2, k, e))
+    idf = spark.createDataFrame(
+        pd.DataFrame(ivals, columns=["iid", "k", "s", "e"])
+    )
+    pdf_pts = pd.DataFrame(pts, columns=["pid", "k", "ts"])
+    pdf = spark.createDataFrame(pdf_pts)
+
+    want = {
+        (i, p)
+        for i, ik, s, e in ivals
+        for p, pk, ts in pts
+        if ik == pk and e > s and s <= ts < e
+    }
+    for width in (7, 1_000_000):
+        got = {
+            (r["iid"], r["pid"])
+            for r in interval_point_join(
+                idf, pdf, key="k", start="s", end="e", ts="ts",
+                bin_width_us=width,
+            ).collect()
+        }
+        assert got == want, f"width={width}"
