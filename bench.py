@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "quality_percentile_filter",
     "sequence_packing",
     "doc_chunks",
+    "sequence_packing_bpe",
+    "doc_chunks_bpe",
+    "cjk_quality_rules",
     "snapshot_diff",
     "ccnet_buckets",
     "dsir_weights",

@@ -1492,6 +1492,7 @@ def test_bloom_merge_and_persist_lifecycle(spark, tmp_path):
     other_rows = other.table.select(
         "word_idx", "bits", F.lit(other.m_bits).alias("m_bits"),
         F.lit(other.k).alias("k"), F.lit(other.seed).alias("seed"),
+        F.lit(other.scheme).alias("scheme"),
     )
     other_rows.write.mode("append").parquet(bad)
     with pytest.raises(ValueError, match="mixed"):

@@ -367,3 +367,24 @@ def test_bloom_probe_never_shuffles_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_repetition_arrow_udf_evaluates_once(spark):
+    """r6: the arrow repetition mode extracts 10 struct fields from ONE
+    UDF result column — projection collapse must not duplicate the
+    Python call. Pin: exactly one ArrowEvalPython node, and the plan
+    stays shuffle-free."""
+    from language_identification_spark.functions.text import (
+        with_repetition_columns,
+    )
+    from language_identification_spark.plans.asserts import explain_str
+
+    df = spark.createDataFrame([(i, "a b c a b") for i in range(4)], "i long, t string")
+    out = with_repetition_columns(df, "t", "arrow")
+    import re
+
+    plan = explain_str(out)
+    # formatted explain names each node twice (tree + detail section);
+    # count detail headers = physical node count
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1, plan
+    assert_no_shuffle(out)
