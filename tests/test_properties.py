@@ -283,6 +283,18 @@ def test_asof_join_random_vs_merge_asof_and_brute_force(spark):
         }
         want = brute(allow_exact)
         assert got == want, f"brute-force mismatch (allow_exact={allow_exact})"
+        # r6 skew mitigation: the time-bucketed two-pass shape must give
+        # the single-window answer for ANY bucket width (narrow widths
+        # force the cross-bucket carry path; wide = one bucket)
+        for width in (4, 1000):
+            got_b = {
+                r["lid"]: r["asof_v"]
+                for r in asof_join(
+                    ldf, rdf, key="k", ts="t", payload_cols=["v"],
+                    tiebreak="v", allow_exact=allow_exact, time_bucket=width,
+                ).collect()
+            }
+            assert got_b == want, f"bucketed mismatch ({allow_exact}, {width})"
         ma = pd.merge_asof(
             left.sort_values(["t", "lid"], kind="mergesort"),
             runiq.sort_values("t", kind="mergesort"),
