@@ -1276,6 +1276,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
         return chunk_documents(d, chunk=32, stride=24, tokenizer="bpe")
 
+    def bpe_train(spark, sf):
+        # r6 net-new: the full Sennrich merge LOOP (8 rounds of
+        # count-pairs -> argmax -> apply-merge over word types). The
+        # loop's data-dependent argmax has no SQL twin -> rows-only
+        # driver check; the value-level check is exact merge-sequence
+        # equality with a pure-Python BPE
+        # (test_properties::test_bpe_train_merges_vs_python_reference).
+        from language_identification_spark.operators.vocab import (
+            bpe_train_merges,
+        )
+
+        merges, _ = bpe_train_merges(
+            _t(spark, sf, "documents"), n_merges=8
+        )
+        return spark.createDataFrame(
+            [(i,) + m for i, m in enumerate(merges)],
+            "step long, s1 string, s2 string, pair_count long",
+        )
+
     def snapshot_diff(spark, sf):
         # r5 net-new: crawl-refresh diff (operators/snapshots). The two
         # snapshots are synthesized from the documents table: the new
@@ -2093,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_quality_rules": cjk_quality_rules,
         "sequence_packing_bpe": sequence_packing_bpe,
         "doc_chunks_bpe": doc_chunks_bpe,
+        "bpe_train": bpe_train,
         "pr_sweep": pr_sweep,
         "corpus_shuffle": corpus_shuffle,
         "span_dedup": span_dedup,

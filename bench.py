@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sequence_packing_bpe",
     "doc_chunks_bpe",
     "cjk_quality_rules",
+    "bpe_train",
     "snapshot_diff",
     "ccnet_buckets",
     "dsir_weights",

@@ -18,6 +18,7 @@ literal-true cross join (1×K rows, broadcast by construction).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -154,3 +155,93 @@ def bpe_pair_stats(
         .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
         .limit(top_k)
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Full BPE merge training (Sennrich et al. 2016 — the loop behind
+    :func:`bpe_pair_stats`): ``n_merges`` rounds of count-pairs →
+    pick-best → apply-merge over the (word, freq) TYPES table. Returns
+    (merges [(s1, s2, pair_count) in order], final symbolized types
+    DataFrame).
+
+    Scale shape: the corpus collapses to word types ONCE (the token
+    stream is never revisited); each round is one alphabet²-bounded
+    pair aggregation (map-side combined), a 1-row driver collect (the
+    argmax — it IS the model parameter for that round), and one Arrow
+    UDF map applying the merge left-to-right non-overlapping (same
+    greedy as the reference regex replace). ``localCheckpoint`` per
+    round cuts the growing lineage — the pagerank/dedup_components
+    loop discipline. Ties break (count desc, s1 asc, s2 asc), the
+    repo-wide deterministic rule, so the merge SEQUENCE is reproducible
+    (pinned vs a pure-Python BPE in test_properties).
+
+    No DuckDB twin: the loop is iterative with a data-dependent argmax
+    per round — the driver gate is rows-only; the value-level check is
+    the pure-Python oracle equality test."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    types = _word_counts(df, text_col).withColumnRenamed("cnt", "freq")
+    syms_df = types.select(
+        "freq",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))).alias("syms"),
+    ).localCheckpoint()
+
+    def pair_counts(sdf: DataFrame) -> DataFrame:
+        # fully-merged single-symbol words have no pairs — and would turn
+        # sequence(0, size-2) into a DESCENDING [0, -1] (negative index)
+        sdf = sdf.filter(F.size("syms") >= 2)
+        return (
+            sdf.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.col("syms")[i].alias("s1"),
+                            F.col("syms")[i + 1].alias("s2"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.s1", "p.s2")
+            .groupBy("s1", "s2")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(syms_df)
+            .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["s1"], top[0]["s2"], int(top[0]["pair_count"])
+        merges.append((a, b, cnt))
+
+        @F.pandas_udf("array<string>")
+        def apply_merge(col: pd.Series) -> pd.Series:
+            out = []
+            for syms in col:
+                res = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        syms_df = syms_df.select(
+            "freq", apply_merge(F.col("syms")).alias("syms")
+        ).localCheckpoint()
+    return merges, syms_df

@@ -358,3 +358,54 @@ def test_interval_point_join_random_vs_brute_force(spark):
             ).collect()
         }
         assert got == want, f"width={width}"
+
+
+def test_bpe_train_merges_vs_python_reference(spark):
+    """r6: the distributed BPE merge loop must produce the EXACT merge
+    sequence (and final symbol table) of the classic in-memory Sennrich
+    algorithm under the shared tie-break (count desc, pair asc) —
+    including a tie-heavy corpus and merges of already-merged symbols."""
+    from collections import Counter
+
+    from language_identification_spark.operators.vocab import bpe_train_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newer newer newer newer",
+        "newest newest newest wider wider",
+        "low lowest newer wide wide",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    # pure-python reference
+    wf = Counter(w for t in texts for w in t.lower().split())
+    vocab = {tuple(w) + ("</w>",): f for w, f in wf.items()}
+    want = []
+    for _ in range(12):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((a, b, cnt))
+        nv = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + f
+        vocab = nv
+
+    merges, final = bpe_train_merges(df, n_merges=12)
+    assert merges == want
+    got_final = {
+        tuple(r["syms"]): r["freq"] for r in final.collect()
+    }
+    assert got_final == vocab
