@@ -618,12 +618,16 @@ enforced in tests).
             + "\n".join(f"| {k} | {v} |" for k, v in result["queries"].items())
             + f"""
 
-Cross-round comparison note: as of round 4 the serving UDF computes the
-COMPLETE Gopher/C4 feature set per document (stop-word fraction over a
-160-word lexicon, line-level bullet/ellipsis/duplicate ratios) in
-addition to langid + perplexity + scrub — more per-doc work than earlier
-rounds' serving shape, so per-core docs/s is not directly comparable
-across rounds; the scaling RATIO is.
+Cross-round comparison note: the serving UDF computes the COMPLETE
+Gopher/C4 feature set per document — r4 added stop-word fraction +
+line-level ratios, r5 the nine word-n-gram repetition fractions
+(§A1.1), r6 the per-script routing columns (script letter counts,
+is_cjk, char-4-gram diversity) — strictly more per-doc work each round,
+so per-core docs/s is not directly comparable across rounds; the
+scaling RATIO is. r6 also moved the NATIVE pipeline's repetition
+columns from interpreted HOF folds to one Arrow UDF pass (the r5
+native-shape regression, 66.6k → 6.5k docs/s, was those folds;
+mode='hof' survives as the gate-only second implementation).
 
 Reference single-node baseline (BASELINE.md): char_freq ≈ 110 docs/s
 train+predict, best statistical family ≈ 135 docs/s. This pipeline serves
