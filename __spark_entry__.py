@@ -367,7 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rules from raw text cross-engine; the guard ROUTING itself is
         # gated by drop_reasons (synthesized is_cjk rows).
         from language_identification_spark.functions.text import (
-            char_diversity_expr,
+            char_diversity_udf,
             with_script_columns,
         )
         from language_identification_spark.pipeline.rules import (
@@ -386,8 +386,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(mode == 2, spam)
             .otherwise(F.col("text"))
         )
-        out = with_script_columns(d.select("doc_id", txt.alias("t")), "t")
-        div = F.round(char_diversity_expr(F.col("t")), 6)
+        # the sf tables are single parquet files (one input split ⇒ one
+        # task); real crawl input is thousands of splits. Repartition so
+        # the per-doc script-count + diversity work parallelizes — the
+        # one shuffle carries (doc_id, t) once, before the 9 regexp
+        # passes, not because the operator needs it at scale.
+        variants = d.select("doc_id", txt.alias("t")).repartition(32, "doc_id")
+        out = with_script_columns(variants, "t").withColumn(
+            "_div", char_diversity_udf()(F.col("t"))
+        )
+        div = F.round(F.col("_div"), 6)
         reason = (
             F.when(
                 F.col("is_cjk") & (F.col("n_cjk") < MIN_CJK_CHARS),

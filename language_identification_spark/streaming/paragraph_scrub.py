@@ -117,23 +117,23 @@ def paragraph_scrub_stream(
         .withColumn("h", F.sha2(F.col("line"), 256))
         .withColumn("_maybe", maybe_in_corpus(F.col("line")))
     )
-    # exact verify, paid only by the maybe subset: stream-static
-    # left-outer join on the line digest (no-false-negative ⇒ the
-    # not-maybe branch is DEFINITELY not corpus boilerplate)
+    # exact verify: stream-static left-outer join on the line digest,
+    # with the bloom flag folded into the JOIN CONDITION — only "maybe"
+    # lines can match (no-false-negative ⇒ not-maybe is DEFINITELY not
+    # corpus boilerplate), and the stream is read/probed ONCE per
+    # micro-batch (a filter-split union shape would re-run the bitmap
+    # UDF per branch).
     verify = corpus_paragraph_digests.select(
-        F.col("digest").alias("h"), F.lit(True).alias("_hit")
+        F.col("digest").alias("_vh"), F.lit(True).alias("_hit")
     )
-    definite_new = lines.filter(~F.col("_maybe")).withColumn(
-        "_corpus", F.lit(False)
-    )
-    verified = (
-        lines.filter(F.col("_maybe"))
-        .join(verify, "h", "left_outer")
+    flagged = (
+        lines.join(
+            verify,
+            (F.col("h") == F.col("_vh")) & F.col("_maybe"),
+            "left_outer",
+        )
         .withColumn("_corpus", F.coalesce(F.col("_hit"), F.lit(False)))
-        .drop("_hit")
-    )
-    flagged = definite_new.unionByName(verified).select(
-        "h", "url", "pos", "line", "_corpus"
+        .select("h", "url", "pos", "line", "_corpus")
     )
     return flagged.groupBy("h").applyInPandasWithState(
         _make_line_verdict(min_docs, ttl_ms),
