@@ -233,10 +233,30 @@ def repetition_features_udf():
 
     @F.pandas_udf(schema)
     def rep(texts: pd.Series) -> pd.DataFrame:
+        from .analysis import CJK_PY, CYR_PY, GREEK_PY, LATIN_PY
+
+        s = texts.fillna("")
+        # char diversity is the CJK-substitute rule's input — computed
+        # only where that rule can consult it (is_cjk docs; 1.0 = not
+        # applicable otherwise). The mask re-derives is_cjk from the
+        # same script classes the native columns use, so the guard
+        # branches identically in every implementation. Measured: the
+        # unconditional per-doc set build cost the fused pipeline ~1.5×
+        # (121k → 80k docs/s) on a mostly-latin corpus.
+        n_cjk = s.str.count(CJK_PY)
+        is_cjk = (
+            n_cjk * 2
+            > n_cjk
+            + s.str.count(LATIN_PY)
+            + s.str.count(CYR_PY)
+            + s.str.count(GREEK_PY)
+        ).to_numpy()
         rows = []
-        for x in texts.fillna(""):
+        for i, x in enumerate(s):
             r = py_repetition_features(py_words(x), len(x))
-            r["distinct_char_4gram_ratio"] = py_distinct_char_ngram_ratio(x)
+            r["distinct_char_4gram_ratio"] = (
+                py_distinct_char_ngram_ratio(x) if is_cjk[i] else 1.0
+            )
             rows.append(r)
         return pd.DataFrame(rows, columns=list(REPETITION_KEYS))
 
@@ -289,7 +309,16 @@ def with_repetition_columns(
             ),
         ).otherwise(F.lit(0.0))
         df = df.withColumn(f"dup_{nn}gram_char_frac", frac)
-    return df.withColumn("distinct_char_4gram_ratio", char_diversity_expr(c))
+    from .analysis import script_counts
+
+    sc = script_counts(c)
+    total = sc["n_latin"] + sc["n_cjk"] + sc["n_cyrillic"] + sc["n_greek"]
+    return df.withColumn(
+        "distinct_char_4gram_ratio",
+        F.when(sc["n_cjk"] * 2 > total, char_diversity_expr(c)).otherwise(
+            F.lit(1.0)
+        ),
+    )
 
 
 def char_diversity_udf(n: int = CHAR_DIVERSITY_N):
@@ -540,7 +569,13 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
         toklen[i] = sum(map(len, toks))
         stop_cnt[i] = sum(1 for t in toks if t in stopset)
         n_lines[i], bullet[i], ellipsis[i], dup[i] = _py_line_feats(x)
-        char_div[i] = py_distinct_char_ngram_ratio(x)
+        # cjk-guarded like every other implementation (1.0 = the rule
+        # that consumes this can never consult it for this doc)
+        char_div[i] = (
+            py_distinct_char_ngram_ratio(x)
+            if n_cjk[i] * 2 > n_scripts[i]
+            else 1.0
+        )
         for k, v in py_repetition_features(toks, len(x)).items():
             rep[k][i] = v
     safe = np.maximum(n_words, 1).astype(np.float64)
@@ -611,6 +646,7 @@ def py_quality_features(norm: str, stopwords: tuple[str, ...] | None = None) -> 
     sym = len(_PY_SYMBOL_RE.findall(norm))
     n_stop = sum(1 for t in ws if t in stopset)
     n_lines, n_bullet, n_ellipsis, n_dup = _py_line_feats(norm)
+    sf = py_script_features(norm)
     return {
         "n_chars": n_chars,
         "n_words": n_words,
@@ -621,8 +657,10 @@ def py_quality_features(norm: str, stopwords: tuple[str, ...] | None = None) -> 
         "bullet_line_ratio": n_bullet / n_lines,
         "ellipsis_line_ratio": n_ellipsis / n_lines,
         "dup_line_ratio": n_dup / n_lines,
-        **py_script_features(norm),
-        "distinct_char_4gram_ratio": py_distinct_char_ngram_ratio(norm),
+        **sf,
+        "distinct_char_4gram_ratio": (
+            py_distinct_char_ngram_ratio(norm) if sf["is_cjk"] else 1.0
+        ),
         **py_repetition_features(ws, n_chars),
     }
 

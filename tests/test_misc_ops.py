@@ -174,6 +174,8 @@ def test_repetition_columns_native_matches_python(spark):
         "",                                     # empty
         "aa bb aa bb cc aa bb",                 # tie shapes
         "p q r s t u p q r s t u p q r s t u",  # long phrase ×3
+        "你好世界你好世界你好世界",              # cjk: diversity computed
+        "你好 世界 mixed latin words here 你好",  # mixed, latin-majority: 1.0
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
     keys = (
