@@ -87,7 +87,8 @@ def test_simhash(dup_docs):
     sims = {r["id"]: r["simhash"] for r in dedup.simhash_64(dup_docs).collect()}
     assert sims[0] == sims[1] == sims[2]  # identical text → identical simhash
     # near-dup has small hamming distance
-    ham = bin(np.uint64(sims[0]) ^ np.uint64(sims[3])).count("1")
+    # mask to 64 bits in Python ints: np.uint64(negative int) is deprecated
+    ham = bin((sims[0] ^ sims[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham <= 12, ham
     cands = {(r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(dedup.simhash_64(dup_docs)).collect()}
     assert (0, 1) in cands and (0, 3) in cands
