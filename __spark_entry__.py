@@ -147,12 +147,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).filter(F.length(F.trim(F.col("text"))) > 0)
 
     def ngram_counts(spark, sf):
-        # A2: char bigram counts per lang, reference '_' padding
+        # A2: char bigram counts per lang, reference '_' padding —
+        # vectorized partial-count pass (functions/ngramcount, r7),
+        # totals identical to the explode → groupBy form
+        from language_identification_spark.functions.ngramcount import (
+            char_ngram_counts,
+        )
+
         d = _t(spark, sf, "documents")
-        return (
-            d.select("lang", F.explode(char_ngrams(F.lower("text"), 2)).alias("ngram"))
-            .groupBy("lang", "ngram")
-            .agg(F.count("*").alias("cnt"))
+        return char_ngram_counts(
+            d.select("lang", "text"), 2, key_col="lang", lower=True, pad=True
         )
 
     def char_freq_profile(spark, sf):
@@ -171,12 +175,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_lm_predict(spark, sf):
         # J1/W1: train unigram LM on the corpus, predict every doc
         # relationally (explode → broadcast join → sum(log) → argmax).
+        from language_identification_spark.functions.ngramcount import (
+            per_doc_char_ngram_counts,
+        )
+
         d = _t(spark, sf, "documents")
         model = train_ngram_lm(d, n=1)
-        grams = (
-            d.select("doc_id", F.explode(char_ngrams(F.col("text"), 1)).alias("ngram"))
-            .groupBy("doc_id", "ngram")
-            .agg(F.count("*").alias("tf"))
+        # per-doc tf computed doc-locally in the Arrow pass (r7) — the
+        # explode → groupBy(doc, gram) form shuffled one row per char
+        grams = per_doc_char_ngram_counts(
+            d, 1, id_col="doc_id", text_col="text", pad=True
         )
         scored = (
             grams.join(F.broadcast(model), "ngram")
@@ -229,11 +237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def top_ngrams_per_lang(spark, sf):
         # W3: top-20 trigram profile per lang ordered by (-cnt, ngram)
+        from language_identification_spark.functions.ngramcount import (
+            char_ngram_counts,
+        )
+
         d = _t(spark, sf, "documents")
-        counts = (
-            d.select("lang", F.explode(char_ngrams(F.lower("text"), 3)).alias("ngram"))
-            .groupBy("lang", "ngram")
-            .agg(F.count("*").alias("cnt"))
+        counts = char_ngram_counts(
+            d.select("lang", "text"), 3, key_col="lang", lower=True, pad=True
         )
         from pyspark.sql import Window
 
@@ -246,11 +256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def vocab_topk(spark, sf):
         # W4: global top-100 bigrams (CountVectorizer max_features analogue)
+        from language_identification_spark.functions.ngramcount import (
+            char_ngram_counts,
+        )
+
         d = _t(spark, sf, "documents")
         return (
-            d.select(F.explode(char_ngrams(F.lower("text"), 2)).alias("ngram"))
-            .groupBy("ngram")
-            .agg(F.count("*").alias("cnt"))
+            char_ngram_counts(d.select("text"), 2, lower=True, pad=True)
             .orderBy(F.desc("cnt"), F.asc("ngram"))
             .limit(100)
         )

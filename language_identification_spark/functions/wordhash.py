@@ -115,3 +115,68 @@ def word_gram_hashes_udf(k: int):
         return pd.Series(batch_word_gram_hashes(texts.tolist(), k))
 
     return gram_hashes
+
+
+def batch_char_gram_hashes(texts, n: int, distinct: bool = True) -> list[np.ndarray]:
+    """Per text: int64 hashes of its character n-gram windows (no
+    sentinel padding — the shingle convention, ``reference_pad=False``),
+    sorted-distinct by default (shingle SETS are what Jaccard and
+    MinHash consume). Texts shorter than n get an empty array.
+
+    Same batch-tiling as :func:`batch_word_gram_hashes`: one codepoint
+    buffer for the whole batch (docs joined by one separator char), the
+    n-char polynomial roll computed buffer-wide, per-doc windows gathered
+    by range index, fmix64 finalizer. The JVM equivalent
+    (``char_ngrams`` zip_with chain + ``xxhash64``) re-evaluates its
+    ``split`` child per slice inside CodegenFallback eval — this is the
+    measured ~3× cheaper form at web-doc lengths."""
+    m = len(texts)
+    lens = np.zeros(m, dtype=np.int64)
+    parts: list[str] = []
+    for i, t in enumerate(texts):
+        if isinstance(t, str):
+            lens[i] = len(t)
+            parts.append(t)
+        else:
+            parts.append("")
+    empty = np.empty(0, dtype=np.int64)
+    if int(lens.sum()) == 0:
+        return [empty] * m
+    with np.errstate(over="ignore"):
+        big = "\x00".join(parts)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        L = len(cp)
+        if L < n:
+            return [empty] * m
+        # buffer-wide n-char polynomial roll; cross-doc windows are never
+        # gathered (base indices stay inside each doc's span)
+        W = L - n + 1
+        g = cp[:W].copy()
+        for j in range(1, n):
+            g = g * _POLY + cp[j : j + W]
+        g = _fmix64(g)
+        offs = np.zeros(m, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=offs[1:])
+        counts = np.maximum(lens - (n - 1), 0)
+        total = int(counts.sum())
+        if total == 0:
+            return [empty] * m
+        bounds = np.zeros(m, dtype=np.int64)
+        np.cumsum(counts[:-1], out=bounds[1:])
+        base = np.arange(total, dtype=np.int64) + np.repeat(offs - bounds, counts)
+        h = g[base].astype(np.int64)
+    cum = np.concatenate([bounds, [total]])
+    if distinct:
+        return [np.unique(h[cum[i] : cum[i + 1]]) for i in range(m)]
+    return [h[cum[i] : cum[i + 1]] for i in range(m)]
+
+
+def char_gram_hashes_udf(n: int, distinct: bool = True):
+    """pandas UDF: text → array<long> of its (distinct) char-n-gram
+    hashes — the shingle-set transport for the MinHash/Jaccard family."""
+
+    @F.pandas_udf("array<long>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        return pd.Series(batch_char_gram_hashes(texts.tolist(), n, distinct))
+
+    return shingles

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams
+from ..functions.ngramcount import char_ngram_counts
 from ..oracle.reference import ct_profile
 
 NGRAM_SMOOTHING = 1e-8   # statistical_models.py:8
@@ -33,12 +33,15 @@ def train_ngram_lm(
     df: DataFrame, n: int = 1, smoothing: float = NGRAM_SMOOTHING,
     text_col: str = "text", lang_col: str = "lang",
 ) -> DataFrame:
-    """(lang, ngram, prob) — char n-gram LM (statistical_models.py:14-32)."""
-    grams = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("ngram"),
+    """(lang, ngram, prob) — char n-gram LM (statistical_models.py:14-32).
+
+    Counts via the vectorized partial-count pass (functions/ngramcount,
+    r7): exact integer totals identical to the explode → groupBy form,
+    so the normalized probabilities are bit-identical."""
+    counts = char_ngram_counts(
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("text")),
+        n, key_col="lang", lower=False, pad=True,
     )
-    counts = grams.groupBy("lang", "ngram").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("lang")
     total = F.sum("cnt").over(w) + F.lit(smoothing) * F.count("*").over(w)
     return counts.select(
@@ -51,11 +54,10 @@ def train_char_freq(
     text_col: str = "text", lang_col: str = "lang",
 ) -> DataFrame:
     """(lang, char, prob) — lowercased char profile (statistical_models.py:57-74)."""
-    chars = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(F.lower(F.col(text_col)), 1, reference_pad=False)).alias("char"),
+    counts = char_ngram_counts(
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("text")),
+        1, key_col="lang", lower=True, pad=False, gram_col="char",
     )
-    counts = chars.groupBy("lang", "char").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("lang")
     total = F.sum("cnt").over(w) + F.lit(smoothing) * F.count("*").over(w)
     return counts.select(
@@ -71,15 +73,18 @@ def train_markov(
     (statistical_models.py:107-129). Padding is '_text_' (n=2 grams of the
     single-underscore-padded text)."""
     padded = F.concat(F.lit("_"), F.col(text_col), F.lit("_"))
-    bigrams = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(padded, 2, reference_pad=False)).alias("bg"),
+    # a bigram string IS its (cur, nxt) pair, so per-(lang, bigram)
+    # counts are per-(lang, cur, nxt) counts — split on the SMALL count
+    # table, not per occurrence
+    counts = char_ngram_counts(
+        df.select(F.col(lang_col).alias("lang"), padded.alias("text")),
+        2, key_col="lang", lower=False, pad=False, gram_col="bg",
     ).select(
         "lang",
         F.substring("bg", 1, 1).alias("cur"),
         F.substring("bg", 2, 1).alias("nxt"),
+        "cnt",
     )
-    counts = bigrams.groupBy("lang", "cur", "nxt").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("lang", "cur")
     total = F.sum("cnt").over(w) + F.lit(smoothing) * F.count("*").over(w)
     return counts.select(
@@ -161,18 +166,20 @@ def train_dunning(
     BUILD cost: the corpus itself is touched once, the grid never joins
     back to documents (serving broadcasts per-lang dicts)."""
     low = F.lower(F.col(text_col))
-    uni = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(low, 1, reference_pad=False)).alias("raw"),
-    ).select("lang", F.concat(F.lit("c_"), F.col("raw")).alias("feat"))
+    # two vectorized count passes; prefixes applied on the SMALL count
+    # tables ('c_'/'bg_' namespaces never collide, so the union of the
+    # two per-(lang, gram) counts equals the old count over the unioned
+    # explode)
+    uni = char_ngram_counts(
+        df.select(F.col(lang_col).alias("lang"), low.alias("text")),
+        1, key_col="lang", lower=False, pad=False, gram_col="raw",
+    ).select("lang", F.concat(F.lit("c_"), F.col("raw")).alias("feat"), "cnt")
     pad = F.concat(F.lit("_"), low, F.lit("_"))
-    bg = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(pad, 2, reference_pad=False)).alias("raw"),
-    ).select("lang", F.concat(F.lit("bg_"), F.col("raw")).alias("feat"))
-    feats = uni.unionAll(bg)
-
-    counts = feats.groupBy("lang", "feat").agg(F.count("*").alias("cnt"))
+    bg = char_ngram_counts(
+        df.select(F.col(lang_col).alias("lang"), pad.alias("text")),
+        2, key_col="lang", lower=False, pad=False, gram_col="raw",
+    ).select("lang", F.concat(F.lit("bg_"), F.col("raw")).alias("feat"), "cnt")
+    counts = uni.unionAll(bg)
     vocab = counts.select("feat").distinct()
     vocab_size = vocab.count()
     lang_totals = counts.groupBy("lang").agg(F.sum("cnt").alias("total"))

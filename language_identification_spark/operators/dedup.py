@@ -10,10 +10,13 @@ Four families, each with the partitioning story that survives 100 TB:
   case — the correctness oracle for the approximate methods, and usable
   standalone after LSH has cut candidates.
 - **MinHash + LSH** (`minhash_signatures`, `minhash_lsh_candidates`,
-  `minhash_near_duplicates`): xxhash64 shingles (JVM-side, codegen) → 64
-  affine permutations as one numpy matrix-min per Arrow batch → band-hash
-  buckets → within-bucket self-join → exact-Jaccard verify. The scale
-  path: only band-bucket collisions are ever joined.
+  `minhash_near_duplicates`): one vectorized Arrow pass hashes each
+  doc's distinct char shingles to 64-bit ints (functions/wordhash) → 64
+  affine permutations as one numpy matrix-min per doc → band-hash
+  buckets → within-bucket self-join → exact-Jaccard verify over the SAME
+  shingle-hash arrays (shared, persisted base — computed once). The
+  scale path: only band-bucket collisions are ever joined, and shuffles/
+  broadcasts carry 8-byte hashes, never gram strings.
 - **SimHash** (`simhash_64`): 64-bit signature via a vectorized pandas UDF
   (bit-twiddling is numpy's home turf), banded for Hamming-≤k candidate
   pairing.
@@ -30,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams
+from ..functions.wordhash import char_gram_hashes_udf
 
 # 31-bit Mersenne prime: (a*h+b) stays < 2^62, safe for int64 ANSI math
 MERSENNE31 = (1 << 31) - 1
@@ -203,14 +206,24 @@ def exact_incremental_dedup(
     ).drop("_digest")
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh ARRAY<BIGINT>): sorted-distinct 64-bit char-n-gram hashes
+    per doc — the shingle-set transport shared by the signature AND
+    verify stages (r7). Hashes, not gram strings: the shuffle/broadcast
+    payload halves, ``array_intersect`` runs on longs, and the hash is an
+    engine-side choice (the oracles recompute Jaccard on strings; a
+    64-bit collision inside one pair's ~10³ shingles is ~1e-13). One
+    vectorized Arrow pass replaces the interpreted ``char_ngrams``
+    zip_with chain (measured ~3× at web-doc lengths)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        char_gram_hashes_udf(n)(F.col(text_col)).alias("sh"),
+    )
+
+
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False))
-            ).alias("shingle"),
-        )
+    return _shingle_sets(df, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("shingle")
     )
 
 
@@ -406,22 +419,12 @@ def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-    n_hashes: int = 64,
-    seed: int = 42,
+def _signatures_from_shingles(
+    base: DataFrame, n_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
-    """(id, sig ARRAY<BIGINT>[n_hashes]) — hybrid JVM + numpy, no shuffle.
-
-    Shingle hashing stays JVM-side (one xxhash64 per distinct shingle,
-    codegen'd); the 64 affine permutations + min-reduction run as ONE numpy
-    matrix op per Arrow batch — (S×64) broadcasted multiply-add, min over
-    axis 0. The all-SQL variant (64 interpreted ``transform`` lambdas per
-    row) measured ~25× slower at bench time.
-    """
+    """(id, sig) from a :func:`_shingle_sets` table — the shared-base
+    form: callers that also verify (minhash_near_duplicates) persist
+    ``base`` once and feed both stages from it."""
     params = _perm_params(n_hashes, seed)
     a_vec = np.array([a for a, _ in params], dtype=np.int64)
     b_vec = np.array([b for _, b in params], dtype=np.int64)
@@ -441,15 +444,35 @@ def minhash_signatures(
             if h is None or len(h) == 0:
                 out.append(empty)
                 continue
-            hv = np.asarray(h, dtype=np.int64)[:, None]  # (S, 1)
+            # 64-bit shingle hash → the 31-bit permutation domain
+            hv = (np.abs(np.asarray(h, dtype=np.int64)) % MERSENNE31)[:, None]
             out.append(((hv * a_vec + b_vec) % MERSENNE31).min(axis=0))
         return pd.Series(out)
 
-    hashes = F.transform(
-        F.array_distinct(char_ngrams(F.col(text_col), n, reference_pad=False)),
-        lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31),
+    return base.select("id", sig_udf(F.col("sh")).alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[n_hashes]) — vectorized Arrow + numpy, no
+    shuffle.
+
+    Shingle hashing is one whole-batch numpy pass (``functions.wordhash``
+    — r7: the previous JVM ``char_ngrams`` + per-shingle ``xxhash64``
+    chain was CodegenFallback-interpreted and re-evaluated its ``split``
+    per slice); the 64 affine permutations + min-reduction run as ONE
+    numpy matrix op per doc. The all-SQL variant (64 interpreted
+    ``transform`` lambdas per row) measured ~25× slower at bench time.
+    """
+    return _signatures_from_shingles(
+        _shingle_sets(df, id_col, text_col, n), n_hashes, seed
     )
-    return df.select(F.col(id_col).alias("id"), sig_udf(hashes).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -560,7 +583,13 @@ def incremental_near_duplicates(
     """
     if index is None:
         index = minhash_band_index(corpus_df, id_col, text_col, n, n_hashes, bands, seed)
-    new_sigs = minhash_signatures(new_df, id_col, text_col, n, n_hashes, seed)
+    # r7: the new shard's shingle sets feed both its signatures and its
+    # verify side — one Arrow pass, persisted (2 consumers). The corpus
+    # side is NOT pre-shingled here: its verify shingles are computed
+    # only where needed (after the candidate semi-join in the default
+    # candidate_first shape — the whole point of that A/B winner).
+    new_base = _register_cache(_shingle_sets(new_df, id_col, text_col, n))
+    new_sigs = _signatures_from_shingles(new_base, n_hashes, seed)
     new_bands = _band_table(new_sigs, bands, n_hashes)
     cand = (
         new_bands.join(
@@ -570,34 +599,29 @@ def incremental_near_duplicates(
         .select(F.col("id").alias("new_id"), "corpus_id")
         .distinct()
     )
-    # candidate_first=True: semi-join both document sides on the
-    # candidate id sets BEFORE computing shingle arrays — pays only when
-    # the candidate set cannot broadcast (see minhash_near_duplicates for
-    # the measured decision rule). Only that shape gives ``cand``
-    # multiple consumers (two semi-joins + the verify join), so only it
-    # persists (released via scope/release_pair_cache); the default path
-    # consumes ``cand`` exactly once and a persist would be pure
-    # cache-write overhead at corpus scale.
-    shn_src, shc_src = new_df, corpus_df
+    # candidate_first=True: semi-join the corpus side on the candidate id
+    # set BEFORE computing its shingle sets — skips the O(corpus) shingle
+    # pass for the ~99% of corpus docs with no colliding band (the r5
+    # measured winner in both broadcast regimes). Only that shape gives
+    # ``cand`` multiple consumers (two semi-joins + the verify join), so
+    # only it persists (released via scope/release_pair_cache); the
+    # default path consumes ``cand`` exactly once and a persist would be
+    # pure cache-write overhead at corpus scale.
+    shn_src = new_base
+    shc_src = corpus_df
     if candidate_first:
         cand = _register_cache(cand)
-        shn_src = new_df.join(
-            cand.select("new_id"), F.col(id_col) == F.col("new_id"), "left_semi"
+        shn_src = new_base.join(
+            cand.select("new_id"), F.col("id") == F.col("new_id"), "left_semi"
         )
         shc_src = corpus_df.join(
             cand.select("corpus_id"), F.col(id_col) == F.col("corpus_id"), "left_semi"
         )
     shn = shn_src.select(
-        F.col(id_col).alias("new_id"),
-        F.array_distinct(
-            char_ngrams(F.col(text_col), n, reference_pad=False)
-        ).alias("sh_n"),
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_n")
     )
-    shc = shc_src.select(
-        F.col(id_col).alias("corpus_id"),
-        F.array_distinct(
-            char_ngrams(F.col(text_col), n, reference_pad=False)
-        ).alias("sh_c"),
+    shc = _shingle_sets(shc_src, id_col, text_col, n).select(
+        F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c")
     )
     return (
         cand.join(shn, "new_id")
@@ -687,29 +711,29 @@ def minhash_near_duplicates(
     job, where candidate-first wins 1.10–1.17× and is the default.
     Numbers: BENCH.md A/B section (``bench.py --lsh-ab``).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes, seed)
+    # r7: ONE shingle-set pass feeds both the signature stage and the
+    # verify stage (previously the verify side re-built string shingle
+    # arrays from text). The base is persisted — it has 2-3 consumers —
+    # and carries 8-byte hashes, so the verify joins move/broadcast half
+    # the bytes and ``array_intersect`` runs on longs.
+    base = _register_cache(_shingle_sets(df, id_col, text_col, n))
+    sigs = _signatures_from_shingles(base, n_hashes, seed)
     cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
-    # candidate_first=True: semi-join the corpus on the candidate id set
-    # BEFORE computing shingle arrays (the non-broadcastable-candidates
+    # candidate_first=True: semi-join the (cached) shingle base on the
+    # candidate id set before the verify join (the huge-candidate-set
     # escape hatch; see the docstring's measured decision rule). Only
     # that shape gives ``cand`` multiple consumers (the id-set union +
     # the verify join), so only it persists (released via
     # scope/release_pair_cache); the default path consumes ``cand`` once.
     # No .distinct() on the id set: left_semi deduplicates by construction,
     # and the extra shuffle measured ~+3s on the sf0.1 gate corpus.
-    sh = df
+    sh = base
     if candidate_first:
         cand = _register_cache(cand)
         cand_ids = cand.select(F.col("id_a").alias("cid")).unionAll(
             cand.select(F.col("id_b").alias("cid"))
         )
-        sh = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
-    sh = sh.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            char_ngrams(F.col(text_col), n, reference_pad=False)
-        ).alias("sh"),
-    )
+        sh = base.join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     out = (

@@ -1577,3 +1577,66 @@ def test_wordhash_tokens_match_spark_words(spark):
     # identical windows hash identically across documents, distinct differ
     arrs = batch_word_gram_hashes(["p q r s t", "z p q r s"], 4)
     assert arrs[0][0] == arrs[1][1] and arrs[0][1] != arrs[1][0]
+
+
+def test_char_ngram_counts_match_explode_form(spark):
+    """r7: the vectorized partial-count pass must produce EXACTLY the
+    rows of explode(char_ngrams) -> groupBy -> count, for every
+    (n, pad, lower, keyed/global) combination the trainers/gates use."""
+    from language_identification_spark.functions.ngramcount import (
+        char_ngram_counts,
+    )
+    from language_identification_spark.functions.text import char_ngrams
+
+    rows = [
+        ("en", "hello world"),
+        ("en", ""),
+        ("de", "a"),
+        ("de", "ÜbEr  maß"),
+        ("el", "αβγ αβ"),
+        ("zh", "的一是了我"),
+        ("en", "MiXeD Case\t tabs\nnewlines"),
+    ]
+    df = spark.createDataFrame(rows * 3, "lang string, text string")
+    for n in (1, 2, 3):
+        for pad in (True, False):
+            for lower in (True, False):
+                src = F.lower(F.col("text")) if lower else F.col("text")
+                old = (
+                    df.select("lang", F.explode(char_ngrams(src, n, reference_pad=pad)).alias("g"))
+                    .groupBy("lang", "g").count()
+                )
+                new = char_ngram_counts(df, n, key_col="lang", lower=lower, pad=pad, gram_col="g")
+                got = {(r["lang"], r["g"]): r["cnt"] for r in new.collect()}
+                want = {(r["lang"], r["g"]): r["count"] for r in old.collect()}
+                assert got == want, (n, pad, lower)
+    # global (no key) mode
+    old = (
+        df.select(F.explode(char_ngrams(F.lower("text"), 2)).alias("g"))
+        .groupBy("g").count()
+    )
+    new = char_ngram_counts(df, 2, lower=True, pad=True, gram_col="g")
+    assert {(r["g"], r["cnt"]) for r in new.collect()} == {
+        (r["g"], r["count"]) for r in old.collect()
+    }
+
+
+def test_per_doc_char_ngram_counts_match_explode_form(spark):
+    """r7: per-doc tf rows from the Arrow pass must equal
+    explode(char_ngrams) -> groupBy(doc, gram) -> count exactly."""
+    from language_identification_spark.functions.ngramcount import (
+        per_doc_char_ngram_counts,
+    )
+    from language_identification_spark.functions.text import char_ngrams
+
+    rows = [(0, "hello"), (1, ""), (2, "aא b"), (3, "zz zz"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2):
+        old = (
+            df.select("doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g"))
+            .groupBy("doc_id", "g").count()
+        )
+        new = per_doc_char_ngram_counts(df, n, gram_col="g", cnt_col="tf")
+        got = {(r["doc_id"], r["g"]): r["tf"] for r in new.collect()}
+        want = {(r["doc_id"], r["g"]): r["count"] for r in old.collect()}
+        assert got == want, n

@@ -143,23 +143,29 @@ def test_bucketed_index_join_has_no_exchange_on_index_side(spark, pages_df, tmp_
         spark.sql("DROP TABLE IF EXISTS band_index_plan_test")
 
 
-def _assert_verify_shingles_semi_joined(df, out_aliases):
-    """Every verify-stage shingle Project (aliasing to the output id
-    columns) must sit DIRECTLY above a LeftSemi join on the candidate id
-    set — i.e. shingles are computed only for candidates, never for the
-    whole corpus. The signature-stage shingle Project (aliased to the
-    plain ``id``) is intentionally not matched: it must see all docs."""
+def _assert_verify_shingles_semi_joined(df, sh_aliases):
+    """Every verify-stage shingle Project (aliasing to the ``sh_*``
+    output columns) must sit above a LeftSemi join on the candidate id
+    set — i.e. the verify side is pruned to candidates first. Two
+    legitimate shapes since the r7 shared-shingle-base rework: the
+    cached base re-aliased directly above the semi-join
+    (Project → LeftSemi), or — the corpus side of the incremental job,
+    where shingles are computed ONLY after the semi-join (the whole
+    point of candidate-first) — Project → ArrowEvalPython(shingles) →
+    LeftSemi. The signature-stage shingle pass (plain ``sh``/``sig``)
+    is intentionally not matched: it must see all docs."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     hits = 0
     for i, line in enumerate(lines):
-        if "array_distinct(zip_with" in line and any(
-            f" AS {a}#" in line for a in out_aliases
-        ):
+        if any(f" AS {a}#" in line for a in sh_aliases):
             hits += 1
-            assert "LeftSemi" in lines[i + 1], (
+            below = lines[i + 1]
+            if "ArrowEvalPython" in below and "shingles" in below:
+                below = lines[i + 2]
+            assert "LeftSemi" in below, (
                 f"verify shingle Project not above a candidate semi-join:\n"
-                f"{line}\n{lines[i + 1]}"
+                f"{line}\n{below}"
             )
     assert hits >= 2, f"expected >=2 verify shingle Projects, found {hits}\n{plan}"
 
@@ -175,14 +181,14 @@ def test_lsh_verify_candidate_first_plan(spark, sf_dir):
     near = dedup.minhash_near_duplicates(
         docs.limit(100), threshold=0.5, candidate_first=True
     )
-    _assert_verify_shingles_semi_joined(near, ("id_a", "id_b"))
+    _assert_verify_shingles_semi_joined(near, ("sh_a", "sh_b"))
 
     corpus = docs.filter("doc_id % 2 = 0")
     new = docs.filter("doc_id % 2 = 1")
     inc = dedup.incremental_near_duplicates(
         new, corpus, threshold=0.5, candidate_first=True
     )
-    _assert_verify_shingles_semi_joined(inc, ("new_id", "corpus_id"))
+    _assert_verify_shingles_semi_joined(inc, ("sh_n", "sh_c"))
     dedup.release_pair_cache()
 
 
@@ -197,7 +203,7 @@ def test_incremental_default_is_candidate_first(spark, sf_dir):
     corpus = docs.filter("doc_id % 2 = 0")
     new = docs.filter("doc_id % 2 = 1")
     inc = dedup.incremental_near_duplicates(new, corpus, threshold=0.5)
-    _assert_verify_shingles_semi_joined(inc, ("new_id", "corpus_id"))
+    _assert_verify_shingles_semi_joined(inc, ("sh_n", "sh_c"))
     dedup.release_pair_cache()
 
 
