@@ -26,21 +26,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams, words
+from ..functions.wordhash import word_gram_hashes_udf
 
 
 def _doc_gram_hashes(
     df: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, gh): DISTINCT word-n-gram hashes per document (overlap is a
-    set property; a doc repeating an eval n-gram counts it once)."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("g"),
-        )
-        .select("id", F.xxhash64("g").alias("gh"))
-        .distinct()
+    set property; a doc repeating an eval n-gram counts it once).
+
+    r7: hashes from the vectorized Arrow pass (functions/wordhash) and
+    the per-doc dedup is a DOC-LOCAL ``array_distinct`` — the old
+    ``.distinct()`` shuffled every (id, gh) pair of the corpus to
+    deduplicate rows that are already doc-local. ``explode_outer`` keeps
+    zero-gram docs as one NULL-hash row, so the consumer needs no
+    corpus re-join to restore them."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(word_gram_hashes_udf(n)(F.col(text_col)))
+        ).alias("gh"),
     )
 
 
@@ -62,9 +67,8 @@ def ngram_contamination(
     discipline as the LSH family."""
     ev = (
         evalset.select(
-            F.explode(word_ngrams(words(F.col(text_col)), n)).alias("g")
+            F.explode(word_gram_hashes_udf(n)(F.col(text_col))).alias("gh")
         )
-        .select(F.xxhash64("g").alias("gh"))
         .distinct()
         .withColumn("_hit", F.lit(1).cast("long"))
     )
@@ -74,30 +78,27 @@ def ngram_contamination(
     # shuffle every corpus n-gram hash. A LEFT join (not semi) marks
     # hits so totals and contaminated counts come out of ONE aggregation
     # over ONE pass of the explode subtree; ev.gh is distinct, so the
-    # join cannot fan rows out.
-    agg = (
+    # join cannot fan rows out. count(gh) ignores the NULL row that
+    # explode_outer emits for zero-gram docs, so those come out as
+    # (0, 0, 0.0) directly — no corpus re-join (r7: the old final
+    # left-join pass re-scanned the corpus only to restore them).
+    return (
         dg.join(F.broadcast(ev), "gh", "left")
         .groupBy("id")
         .agg(
-            F.count("*").alias("n_grams"),
+            F.count("gh").alias("n_grams"),
             F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias(
                 "n_contaminated"
             ),
         )
-    )
-    return (
-        corpus.select(F.col(id_col).alias("id"))
-        .join(agg, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            "n_grams",
+            "n_contaminated",
             F.when(
-                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("n_grams") > 0,
                 F.round(
-                    F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
-                    / F.col("n_grams"),
-                    6,
+                    F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
                 ),
             )
             .otherwise(F.lit(0.0))

@@ -33,7 +33,10 @@ once per target/raw pair, persist as a table).
 from __future__ import annotations
 
 import math
+import re as _re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -128,7 +131,9 @@ def token_buckets(col: Column, n_buckets: int) -> Column:
     """Per-token hash buckets: the repo's rolling (acc*31+cp) % 1e9+7
     fold applied to each whitespace token, mod ``n_buckets``. Same
     value in DuckDB via list_transform + list_reduce (see
-    :func:`_fold_sql`)."""
+    :func:`_fold_sql`). SQL form — the oracle-twin reference; the
+    serving path uses :func:`token_buckets_udf` (identical values,
+    pinned by tests/test_misc_ops.py::test_token_buckets_udf_matches_sql)."""
     toks = F.split(F.trim(col), WS)
     toks = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(toks)
     fold = lambda t: F.aggregate(  # noqa: E731
@@ -137,6 +142,57 @@ def token_buckets(col: Column, n_buckets: int) -> Column:
         lambda acc, x: (acc * 31 + x) % FOLD_MOD,
     )
     return F.transform(toks, lambda t: (fold(t) % n_buckets).cast("int"))
+
+
+def token_buckets_udf(n_buckets: int):
+    """Vectorized twin of :func:`token_buckets` (r7): the SQL form runs
+    an interpreted ``aggregate`` lambda PER CHARACTER (HOFs are
+    CodegenFallback); this one folds every token of the Arrow batch in
+    ``max_token_len`` masked numpy rounds. Exact: acc < 1e9+7, so
+    acc*31 + codepoint < 2^63 — int64 arithmetic equals the SQL fold
+    value for value."""
+    ws_re = _re.compile("[ \t\n]+")
+
+    @F.pandas_udf("array<int>")
+    def buckets(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        docs_ntoks = np.zeros(n, dtype=np.int64)
+        all_toks: list[str] = []
+        empty = np.empty(0, dtype=np.int32)
+        for i, t in enumerate(texts):
+            if not isinstance(t, str):
+                continue
+            # Spark trim() strips ' ' only; split keeps leading/trailing
+            # empty tokens (Pattern.split limit -1) — replicated exactly
+            s = t.strip(" ")
+            if s == "":
+                continue
+            toks = ws_re.split(s)
+            docs_ntoks[i] = len(toks)
+            all_toks.extend(toks)
+        nw = len(all_toks)
+        if nw == 0:
+            return pd.Series([empty if isinstance(t, str) else None for t in texts])
+        big = "\x00".join(all_toks)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        lens = np.fromiter((len(w) for w in all_toks), dtype=np.int64, count=nw)
+        starts = np.zeros(nw, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        acc = np.zeros(nw, dtype=np.int64)
+        for p in range(int(lens.max())):
+            m = lens > p
+            acc[m] = (acc[m] * 31 + cp[starts[m] + p]) % FOLD_MOD
+        b = (acc % n_buckets).astype(np.int32)
+        cum = np.concatenate([[0], np.cumsum(docs_ntoks)])
+        out = []
+        for i, t in enumerate(texts):
+            if not isinstance(t, str):
+                out.append(None)
+            else:
+                out.append(b[cum[i] : cum[i + 1]])
+        return pd.Series(out)
+
+    return buckets
 
 
 def bucket_log_probs(
@@ -182,12 +238,53 @@ def dsir_weights(
     Resample downstream with sampling.hash_sample against
     exp(weight) — deterministic, retry-stable.
     """
-    t = bucket_log_probs(target_df, text_col, n_buckets, smoothing)
-    r = bucket_log_probs(raw_df, text_col, n_buckets, smoothing)
-    t_tot = t.select("tot").first()["tot"]
-    r_tot = r.select("tot").first()["tot"]
-    t_floor = math.log(smoothing / (t_tot + smoothing * n_buckets))
-    r_floor = math.log(smoothing / (r_tot + smoothing * n_buckets))
+    # r7 execution shape (identical values):
+    # - per-token buckets come from the vectorized fold UDF (the SQL
+    #   HOF fold ran interpreted per character);
+    # - the raw corpus is folded ONCE: its exploded bucket rows are
+    #   persisted (scoped to the active pair_cache_scope, like the LSH
+    #   caches) and re-aggregated for the raw distribution — previously
+    #   the raw side was folded three times (distribution, its tot
+    #   re-read, and the scoring pass);
+    # - the two B-row count tables are collected (bounded by n_buckets —
+    #   the same bounded-driver-action class as ivf's centroid ids) and
+    #   re-enter as literal tables; the log/ratio arithmetic stays in
+    #   JVM expressions, so every double equals the old plan's.
+    from .dedup import _register_cache
+
+    bucket_arr = token_buckets_udf(n_buckets)
+    per_tok = _register_cache(
+        raw_df.select(
+            F.col(id_col),
+            F.explode_outer(bucket_arr(F.col(text_col))).alias("bucket"),
+        )
+    )
+    spark = raw_df.sparkSession
+    r_rows = (
+        per_tok.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    )
+    t_rows = (
+        target_df.select(
+            F.explode(bucket_arr(F.col(text_col))).alias("bucket")
+        )
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    )
+
+    def dist(rows):
+        tot = sum(r["cnt"] for r in rows)
+        df = spark.createDataFrame(
+            [(r["bucket"], r["cnt"]) for r in rows] or [(None, None)],
+            "bucket int, cnt long",
+        ).filter(F.col("bucket").isNotNull())
+        logp = F.log(
+            (F.col("cnt") + smoothing) / (F.lit(float(tot)) + smoothing * n_buckets)
+        )
+        floor = math.log(smoothing / (tot + smoothing * n_buckets))
+        return df.select("bucket", logp.alias("logp")), floor
+
+    t, t_floor = dist(t_rows)
+    r, r_floor = dist(r_rows)
     ratio = (
         t.select("bucket", F.col("logp").alias("lt"))
         .join(r.select("bucket", F.col("logp").alias("lr")), "bucket", "full_outer")
@@ -203,10 +300,6 @@ def dsir_weights(
             .cast("long")
             .alias("ratio_micro"),
         )
-    )
-    per_tok = raw_df.select(
-        F.col(id_col),
-        F.explode_outer(token_buckets(F.col(text_col), n_buckets)).alias("bucket"),
     )
     return (
         per_tok.join(F.broadcast(ratio), "bucket", "left")

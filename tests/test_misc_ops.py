@@ -1640,3 +1640,25 @@ def test_per_doc_char_ngram_counts_match_explode_form(spark):
         got = {(r["doc_id"], r["g"]): r["tf"] for r in new.collect()}
         want = {(r["doc_id"], r["g"]): r["count"] for r in old.collect()}
         assert got == want, n
+
+
+def test_token_buckets_udf_matches_sql(spark):
+    """r7: the vectorized fold UDF must emit exactly the SQL
+    token_buckets values (same trim/split/fold/mod semantics), including
+    empty-after-trim, leading/trailing ws tokens, and NULL text."""
+    from language_identification_spark.operators.selection import (
+        token_buckets,
+        token_buckets_udf,
+    )
+
+    texts = [
+        "hello world", "", "   ", "\ta b", "a b ", " a\nb\t", "ÜbEr maß",
+        "的一是 了我", None, "x",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    for nb in (7, 1024):
+        sql = {r["i"]: r["b"] and list(r["b"]) for r in df.select(
+            "i", token_buckets(F.col("t"), nb).alias("b")).collect()}
+        udf = {r["i"]: r["b"] and list(r["b"]) for r in df.select(
+            "i", token_buckets_udf(nb)(F.col("t")).alias("b")).collect()}
+        assert sql == udf, (nb, sql, udf)

@@ -318,22 +318,31 @@ def test_packing_is_one_window_per_shard(spark, sf_dir):
 def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     """r5 DSIR: the B-row log-ratio table must BROADCAST into the
     corpus-side token join (SortMergeJoin there would shuffle every
-    token's bucket row), and no Python appears anywhere in the plan."""
+    token's bucket row). r7: the per-token fold moved from the
+    interpreted SQL ``aggregate`` HOF (per-character lambda eval) to one
+    vectorized Arrow pass — so exactly ONE ArrowEvalPython (the bucket
+    UDF over the persisted per_tok table) may appear, and no
+    row-at-a-time BatchEvalPython ever."""
+    import re
+
+    from language_identification_spark.operators.dedup import pair_cache_scope
     from language_identification_spark.operators.selection import (
         dsir_weights,
     )
     from language_identification_spark.plans.asserts import explain_str
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = dsir_weights(
-        docs.select("doc_id", "text"),
-        docs.filter("lang = 'en'").select("doc_id", "text"),
-        n_buckets=256,
-    )
-    plan = explain_str(out)
-    head = plan.split("(1) Scan", 1)[0]  # tree section: corpus-side join is the top join
-    assert "BroadcastHashJoin LeftOuter" in head, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pair_cache_scope():
+        out = dsir_weights(
+            docs.select("doc_id", "text"),
+            docs.filter("lang = 'en'").select("doc_id", "text"),
+            n_buckets=256,
+        )
+        plan = explain_str(out)
+        head = plan.split("(1) Scan", 1)[0]  # tree section: corpus join on top
+        assert "BroadcastHashJoin LeftOuter" in head, plan
+        assert "BatchEvalPython" not in plan
+        assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) <= 1, plan
 
 
 def test_deterministic_shuffle_plan_no_global_sort(spark, sf_dir):
