@@ -264,10 +264,18 @@ def ivf_topk(
     window); at rest the corpus would be written bucketed by ``list_id``
     so a query reads only its probed lists.
     """
+    # r7 assignment shape: coarse centroids are BOUNDED (n_lists rows) —
+    # collect them once (the 'sampled' path already collected its ids)
+    # and assign every corpus vector in one vectorized Arrow pass: the
+    # old corpus × n_lists crossJoin evaluated the interpreted `_int_l2`
+    # aggregate-HOF per (row, centroid) — measured ~5 s of ann_ivf's
+    # 6.9 s at sf1.0. Arithmetic is the SAME exact int64 quantized L2
+    # (floor(x·1e6+0.5) grid), and np.argmin's first-minimum tie-break
+    # equals the old min_by struct(l2q, list_id) ordering.
+    spark = emb.sparkSession
     if quantizer == "kmeans":
-        cents = kmeans_centroids(emb, n_lists, vec_col).select(
-            "list_id", "cvec", _quantized(F.col("cvec")).alias("cq")
-        )
+        crows = kmeans_centroids(emb, n_lists, vec_col).collect()
+        cent_vecs = [list(r["cvec"]) for r in sorted(crows, key=lambda r: r["list_id"])]
     elif quantizer == "sampled":
         h = (F.col(id_col) * F.lit(KNUTH)) % F.lit(2**32)
         sampled = (
@@ -275,46 +283,59 @@ def ivf_topk(
             .limit(n_lists)
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
-        # Rank the ≤n_lists sampled ids WITHOUT a partitionless window
-        # (WindowExec would single-partition the rows): collect the bare
-        # ids — bounded by n_lists — order them by the same (hash, id)
-        # key driver-side (exact integer arithmetic, identical to the
-        # SQL ordering), and broadcast-join the tiny id→list_id map back.
-        cids = sorted(
-            (r["cid"] for r in sampled.select("cid").collect()),
-            key=lambda c: ((c * KNUTH) % 2**32, c),
+        # bounded by n_lists; ordered by the same (hash, id) key the SQL
+        # ordering used (exact integer arithmetic)
+        srows = sorted(
+            sampled.collect(), key=lambda r: ((r["cid"] * KNUTH) % 2**32, r["cid"])
         )
-        mapping = emb.sparkSession.createDataFrame(
-            [(c, i) for i, c in enumerate(cids)], "cid long, list_id int"
-        )
-        cents = sampled.join(F.broadcast(mapping), "cid").select(
-            "list_id", F.col("cvec").alias("cvec"), _quantized(F.col("cvec")).alias("cq")
-        )
+        cent_vecs = [list(r["cvec"]) for r in srows]
     else:
         raise ValueError(f"unknown quantizer {quantizer!r} (sampled|kmeans)")
 
-    qemb = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _quantized(F.col(vec_col)).alias("vq")
-    )
-    with_l2 = qemb.crossJoin(F.broadcast(cents)).select(
-        "id", "v", "list_id", _int_l2(F.col("vq"), F.col("cq")).alias("l2q")
-    )
-    # corpus assignment: min_by aggregation (map-side combined), NOT a
-    # window over the corpus×n_lists rows
-    assigned = with_l2.groupBy("id").agg(
-        F.expr("min_by(named_struct('list_id', list_id, 'v', v), named_struct('l2q', l2q, 'list_id', list_id))").alias("m")
-    ).select("id", F.col("m.list_id").alias("list_id"), F.col("m.v").alias("v"))
+    cq_mat = quantize_components(np.array(cent_vecs, dtype=np.float64))
 
-    probes = (
-        with_l2.filter(F.col("id").isin(query_ids))
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.col("l2q").asc(), F.col("list_id").asc())
-            ),
-        )
-        .filter(F.col("pr") <= n_probe)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "list_id")
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        vq = quantize_components(mat)  # (N, dim) int64, exact grid
+        n = len(vq)
+        out = np.empty(n, dtype=np.int32)
+        # chunked: the (chunk, L, dim) int64 diff cube stays cache-sized
+        # (a whole-batch cube is ~160 MB and measured memory-bound).
+        # Exact: diffs ≤ 4e6 → squares ≤ 1.6e13, × dim ≪ 2^63; argmin's
+        # first-minimum tie-break = min_by struct(l2q, list_id).
+        for s in range(0, n, 512):
+            ch = vq[s : s + 512]
+            d = ch[:, None, :] - cq_mat[None, :, :]
+            out[s : s + 512] = np.argmin((d * d).sum(axis=2), axis=1).astype(
+                np.int32
+            )
+        return pd.Series(out)
+
+    # asNondeterministic: the join's pushed-down null filter otherwise
+    # duplicates the UDF (one BatchEval under the filter, one for the
+    # projection) — the guide-§4.4 double-evaluation trap; the function
+    # is pure, so values are unchanged.
+    assign = assign.asNondeterministic()
+    assigned = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+
+    # probe selection is |Q| × n_lists driver-side integer math over the
+    # collected query vectors (bounded by len(query_ids))
+    qrows = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qq = quantize_components(np.array([list(r["qv"])], dtype=np.float64))[0]
+        l2 = ((cq_mat - qq) ** 2).sum(axis=1)
+        for li in sorted(range(len(cent_vecs)), key=lambda i: (int(l2[i]), i))[:n_probe]:
+            probe_rows.append((r["query_id"], list(r["qv"]), li))
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, qv array<{'float'}>, list_id int"
     )
 
     cand = assigned.join(F.broadcast(probes), "list_id").filter(
