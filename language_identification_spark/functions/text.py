@@ -233,8 +233,6 @@ def repetition_features_udf():
 
     @F.pandas_udf(schema)
     def rep(texts: pd.Series) -> pd.DataFrame:
-        from .analysis import CJK_PY, CYR_PY, GREEK_PY, LATIN_PY
-
         s = texts.fillna("")
         # char diversity is the CJK-substitute rule's input — computed
         # only where that rule can consult it (is_cjk docs; 1.0 = not
@@ -243,22 +241,22 @@ def repetition_features_udf():
         # branches identically in every implementation. Measured: the
         # unconditional per-doc set build cost the fused pipeline ~1.5×
         # (121k → 80k docs/s) on a mostly-latin corpus.
-        n_cjk = s.str.count(CJK_PY)
-        is_cjk = (
-            n_cjk * 2
-            > n_cjk
-            + s.str.count(LATIN_PY)
-            + s.str.count(CYR_PY)
-            + s.str.count(GREEK_PY)
-        ).to_numpy()
-        rows = []
-        for i, x in enumerate(s):
-            r = py_repetition_features(py_words(x), len(x))
-            r["distinct_char_4gram_ratio"] = (
-                py_distinct_char_ngram_ratio(x) if is_cjk[i] else 1.0
-            )
-            rows.append(r)
-        return pd.DataFrame(rows, columns=list(REPETITION_KEYS))
+        sc = batch_script_symbol_counts(s.tolist())
+        n_cjk = sc["n_cjk"]
+        is_cjk = n_cjk * 2 > (
+            n_cjk + sc["n_latin"] + sc["n_cyr"] + sc["n_greek"]
+        )
+        toks_list = [py_words(x) for x in s]
+        feats = batch_repetition_features(
+            toks_list, s.str.len().to_numpy(dtype="int64")
+        )
+        feats["distinct_char_4gram_ratio"] = [
+            py_distinct_char_ngram_ratio(x) if is_cjk[i] else 1.0
+            for i, x in enumerate(s)
+        ]
+        return pd.DataFrame(
+            {k: feats[k] for k in REPETITION_KEYS}, columns=list(REPETITION_KEYS)
+        )
 
     return rep
 
@@ -544,14 +542,10 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
     if n == 0:
         return {k: [] for k in keys}
     n_chars = s.str.len().to_numpy(dtype=np.int64)
-    sym_cnt = s.str.count(SYMBOL_CLASS).to_numpy(dtype=np.int64)
-    n_cjk = s.str.count(CJK_PY).to_numpy(dtype=np.int64)
-    n_scripts = (
-        n_cjk
-        + s.str.count(LATIN_PY).to_numpy(dtype=np.int64)
-        + s.str.count(CYR_PY).to_numpy(dtype=np.int64)
-        + s.str.count(GREEK_PY).to_numpy(dtype=np.int64)
-    )
+    sc = batch_script_symbol_counts(s.tolist())
+    sym_cnt = sc["n_symbol"]
+    n_cjk = sc["n_cjk"]
+    n_scripts = n_cjk + sc["n_latin"] + sc["n_cyr"] + sc["n_greek"]
     char_div = np.empty(n, dtype=np.float64)
     n_words = np.empty(n, dtype=np.int64)
     distinct = np.empty(n, dtype=np.int64)
@@ -561,9 +555,10 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
     bullet = np.empty(n, dtype=np.int64)
     ellipsis = np.empty(n, dtype=np.int64)
     dup = np.empty(n, dtype=np.int64)
-    rep = {k: np.zeros(n, dtype=np.float64) for k in rep_keys}
+    toks_list = []
     for i, x in enumerate(s):
         toks = [w for w in x.translate(_WS_TO_SPACE).split(" ") if w]
+        toks_list.append(toks)
         n_words[i] = len(toks)
         distinct[i] = len(set(toks))
         toklen[i] = sum(map(len, toks))
@@ -576,8 +571,10 @@ def py_quality_features_batch(norm_series, stopwords: tuple[str, ...] | None = N
             if n_cjk[i] * 2 > n_scripts[i]
             else 1.0
         )
-        for k, v in py_repetition_features(toks, len(x)).items():
-            rep[k][i] = v
+    # r7: one vectorized pass for the 9 repetition fractions (was a
+    # Counter loop per doc per order — 73% of this function's measured
+    # cost); value-identical by the batch_repetition_features pin.
+    rep = batch_repetition_features(toks_list, n_chars)
     safe = np.maximum(n_words, 1).astype(np.float64)
     has = n_words > 0
     mean_wl = np.where(has, toklen / safe, 0.0)
@@ -713,6 +710,144 @@ def py_repetition_features(toks: list[str], n_chars: int) -> dict[str, float]:
             out[key] = min(dup / n_chars, 1.0)
             if dup == 0:
                 dead = True
+    return out
+
+
+def batch_script_symbol_counts(texts) -> dict[str, "np.ndarray"]:
+    """Per-doc counts of the four script classes + the symbol class —
+    codepoint-range compares over one tiled utf-32 buffer (r7), replacing
+    five regex ``str.count`` sweeps. Ranges are EXACTLY the regex
+    classes' (CJK U+4E00-9FFF, Latin A-Za-z, Cyrillic U+0400-04FF, Greek
+    U+0370-03FF, the 14-char symbol set); pinned equal to the regex form
+    by tests/test_misc_ops.py::test_batch_script_counts_match_regex."""
+    import numpy as np
+
+    n = len(texts)
+    out_keys = ("n_cjk", "n_latin", "n_cyr", "n_greek", "n_symbol")
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return {k: np.zeros(n, dtype=np.int64) for k in out_keys}
+    big = "".join(texts)
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+    # bincount of matching chars' doc index: O(matches) per class after
+    # one O(chars) doc-index expansion (a full-buffer cumsum per class
+    # measured 5× slower)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    def seg_counts(mask):
+        return np.bincount(doc_idx[mask], minlength=n).astype(np.int64)
+
+    sym_table = np.zeros(129, dtype=bool)
+    for c in "#!$%&*+=@^~|<>":
+        sym_table[ord(c)] = True
+    return {
+        "n_cjk": seg_counts((cp >= 0x4E00) & (cp <= 0x9FFF)),
+        "n_latin": seg_counts(
+            ((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))
+        ),
+        "n_cyr": seg_counts((cp >= 0x0400) & (cp <= 0x04FF)),
+        "n_greek": seg_counts((cp >= 0x0370) & (cp <= 0x03FF)),
+        "n_symbol": seg_counts(sym_table[np.minimum(cp, 128)]),
+    }
+
+
+def batch_repetition_features(
+    toks_list: list[list[str]], n_chars
+) -> dict[str, "np.ndarray"]:
+    """Whole-batch vectorized twin of :func:`py_repetition_features`
+    (r7 serving path): per-word FNV hashes + per-order run-length
+    counting over one lexsorted (doc, window-hash) array, instead of a
+    Python ``Counter`` per (doc, order).
+
+    Value-identical to the per-doc form (pinned by
+    tests/test_misc_ops.py::test_batch_repetition_matches_per_doc): all
+    counts and char lengths are exact integers (< 2^53, so the float64
+    segment sums are exact regardless of order), the single division and
+    the 1.0 cap are the same ops, the top-gram tie-break (max count,
+    then max char length) is encoded in one integer score, and the
+    ascending-order early-exit ("no window repeats at order k ⇒ all
+    higher orders are exactly 0") is applied per doc via an alive mask.
+    Window identity is the 64-bit word-hash polynomial — a within-doc
+    collision (~10³ windows vs 2^64) is the dedup family's accepted
+    transport risk."""
+    import numpy as np
+
+    from .wordhash import fnv_token_hashes
+
+    n_docs = len(toks_list)
+    keys = list(REPETITION_KEYS[:-1])  # the 9 word-n-gram fractions
+    out = {k: np.zeros(n_docs, dtype=np.float64) for k in keys}
+    nc = np.asarray(n_chars, dtype=np.int64)
+    ntoks = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=n_docs)
+    all_toks: list[str] = []
+    for t in toks_list:
+        all_toks.extend(t)
+    if not all_toks:
+        return out
+    wlen = np.fromiter((len(w) for w in all_toks), dtype=np.int64, count=len(all_toks))
+    wh = fnv_token_hashes(all_toks, lens=wlen)
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), ntoks)
+    tok_start = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(ntoks[:-1], out=tok_start[1:])
+    # cumlen[i] = chars of tokens before global index i (per doc resets
+    # handled by subtracting window-start cumlen)
+    cumlen = np.concatenate([[0], np.cumsum(wlen)])
+    alive = (ntoks > 0) & (nc > 0)
+    POLY = np.uint64(1000003)
+    for nn in sorted(TOP_NGRAM_NS + DUP_NGRAM_NS):
+        key = (
+            f"top_{nn}gram_char_frac" if nn in TOP_NGRAM_NS else f"dup_{nn}gram_char_frac"
+        )
+        has_win = alive & (ntoks >= nn)
+        if not has_win.any():
+            continue
+        counts = np.where(has_win, ntoks - (nn - 1), 0)
+        total = int(counts.sum())
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        # base = global token index of each window's first word
+        base = (
+            np.arange(total, dtype=np.int64)
+            + np.repeat(tok_start - bounds[:-1], counts)
+        )
+        with np.errstate(over="ignore"):
+            g = wh[base].copy()
+            for j in range(1, nn):
+                g = g * POLY + wh[base + j]
+        wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        glen = (cumlen[base + nn] - cumlen[base]) + (nn - 1)
+        order = np.lexsort((g, wdoc))
+        gs, ds, ls = g[order], wdoc[order], glen[order]
+        new = np.empty(total, dtype=bool)
+        new[0] = True
+        np.not_equal(gs[1:], gs[:-1], out=new[1:])
+        new[1:] |= ds[1:] != ds[:-1]
+        run_cnt = np.diff(np.concatenate([np.flatnonzero(new), [total]]))
+        run_doc = ds[new]
+        run_len = ls[new]
+        if nn in TOP_NGRAM_NS:
+            # per-doc max of (cnt, len) as one int score; len < 2^31
+            score = run_cnt.astype(np.int64) * (1 << 31) + run_len
+            best = np.zeros(n_docs, dtype=np.int64)
+            np.maximum.at(best, run_doc, score)
+            cnt = best >> 31
+            glen_b = best & ((1 << 31) - 1)
+            ok = has_win & (cnt >= 2)
+            val = np.minimum(
+                (cnt * glen_b).astype(np.float64) / np.maximum(nc, 1), 1.0
+            )
+            out[key][ok] = val[ok]
+            alive &= cnt >= 2
+        else:
+            m = run_cnt >= 2
+            dup = np.bincount(
+                run_doc[m],
+                weights=(run_cnt[m] * run_len[m]).astype(np.float64),
+                minlength=n_docs,
+            )
+            ok = has_win & (dup > 0)
+            val = np.minimum(dup / np.maximum(nc, 1), 1.0)
+            out[key][ok] = val[ok]
+            alive &= dup > 0
     return out
 
 

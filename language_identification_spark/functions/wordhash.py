@@ -63,6 +63,28 @@ def java_ws_tokens(t) -> list[str]:
     return _WS_RE.split(t)
 
 
+def fnv_token_hashes(all_toks: list[str], lens: np.ndarray | None = None) -> np.ndarray:
+    """uint64 FNV-1a over codepoints, one hash per token, vectorized as
+    ``max_token_len`` masked rounds over one tiled codepoint buffer.
+    Pass ``lens`` (int64 token lengths) if the caller already has them —
+    the per-token ``len()`` sweep is a measurable share of the pass."""
+    nw = len(all_toks)
+    if nw == 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        big = "\x00".join(all_toks)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if lens is None:
+            lens = np.fromiter((len(w) for w in all_toks), dtype=np.int64, count=nw)
+        starts = np.zeros(nw, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        acc = np.full(nw, _FNV_OFFSET, dtype=np.uint64)
+        for p in range(int(lens.max())):
+            m = lens > p
+            acc[m] = (acc[m] ^ cp[starts[m] + p]) * _FNV_PRIME
+    return acc
+
+
 def batch_word_gram_hashes(texts, k: int) -> list[np.ndarray]:
     """One int64 array of k-word-window hashes per text, windows in
     document order (index = 0-based window start). Docs with < k words

@@ -1662,3 +1662,63 @@ def test_token_buckets_udf_matches_sql(spark):
         udf = {r["i"]: r["b"] and list(r["b"]) for r in df.select(
             "i", token_buckets_udf(nb)(F.col("t")).alias("b")).collect()}
         assert sql == udf, (nb, sql, udf)
+
+
+def test_batch_repetition_matches_per_doc():
+    """r7: the vectorized repetition pass must equal the per-doc Counter
+    oracle bit for bit on fixture prose AND adversarial shapes (ties,
+    full-spam, short docs, early-exit boundaries)."""
+    import numpy as np
+
+    from language_identification_spark.fixtures.pages import gen_pages
+    from language_identification_spark.functions.text import (
+        batch_repetition_features,
+        py_repetition_features,
+        py_words,
+    )
+
+    texts = list(gen_pages(n_rows=300, seed=11)["text"])
+    texts += [
+        "",
+        "one",
+        "a b a b a b a b a b",                     # dense 2-gram repeats
+        "x y z x y z x y z",                       # 3-gram tiling
+        "aa bb aa bb cc dd cc dd",                 # tie on count, len differs
+        "w " * 60,                                 # one token repeated
+        "p q r s t u v w x y z " * 3,              # long-order repeats
+        "solo tokens only never repeat here at all",
+    ]
+    toks_list = [py_words(t) for t in texts]
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+    got = batch_repetition_features(toks_list, n_chars)
+    for i, t in enumerate(texts):
+        want = py_repetition_features(toks_list[i], len(t))
+        for k, v in want.items():
+            assert got[k][i] == v, (k, i, t[:40], got[k][i], v)
+
+
+def test_batch_script_counts_match_regex():
+    """r7: codepoint-range script/symbol counts must equal the regex
+    class counts character for character."""
+    import pandas as pd
+
+    from language_identification_spark.functions.analysis import (
+        CJK_PY, CYR_PY, GREEK_PY, LATIN_PY,
+    )
+    from language_identification_spark.functions.text import (
+        SYMBOL_CLASS,
+        batch_script_symbol_counts,
+    )
+
+    texts = [
+        "", "plain ascii text!", "的一是了我 ascii 混合", "Ѐѡӿ cyr", "Ͱπῶ greek",
+        "symbols #!$%&*+=@^~|<> here", "edge ䷿一鿿ꀀ",
+        "ϿЀӿԀ", "ͯͰ", "@@@", "ÀÖøÿ latin-1 letters",
+    ]
+    s = pd.Series(texts)
+    got = batch_script_symbol_counts(texts)
+    assert list(got["n_cjk"]) == list(s.str.count(CJK_PY))
+    assert list(got["n_latin"]) == list(s.str.count(LATIN_PY))
+    assert list(got["n_cyr"]) == list(s.str.count(CYR_PY))
+    assert list(got["n_greek"]) == list(s.str.count(GREEK_PY))
+    assert list(got["n_symbol"]) == list(s.str.count(SYMBOL_CLASS))
