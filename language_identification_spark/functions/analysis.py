@@ -85,15 +85,76 @@ def lang_guess_script(col: Column) -> Column:
     )
 
 
+def _quality_counts_udf():
+    """(n_alpha, n_space, n_symbol) counts per doc — codepoint-range
+    compares over one tiled utf-32 buffer per Arrow batch (r7): the
+    regexp_count form paid three Java-regex sweeps per evaluation, and
+    the percentile gates evaluate the score twice (threshold agg + the
+    broadcast-join CASE). Ranges are EXACTLY the regex classes'
+    (A-Za-z, U+00C0-00FF, U+0410-044F, U+0391-03C9, U+4E00-9FFF; the
+    14-char symbol set; the single space) — pinned equal by
+    tests/test_misc_ops.py::test_quality_score_udf_matches_regex.
+    Non-deterministic mark: pushed-down filters must not duplicate the
+    evaluation (guide §4.4); the function is pure."""
+    state: dict = {}
+
+    @F.pandas_udf("n_alpha int, n_space int, n_symbol int")
+    def counts(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        lens = np.fromiter(
+            (len(t) if isinstance(t, str) else 0 for t in texts), dtype=np.int64, count=n
+        )
+        if int(lens.sum()) == 0:
+            z = np.zeros(n, dtype=np.int32)
+            return pd.DataFrame({"n_alpha": z, "n_space": z, "n_symbol": z})
+        big = "".join(t if isinstance(t, str) else "" for t in texts)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        alpha = (
+            ((cp >= 0x41) & (cp <= 0x5A))
+            | ((cp >= 0x61) & (cp <= 0x7A))
+            | ((cp >= 0xC0) & (cp <= 0xFF))
+            | ((cp >= 0x410) & (cp <= 0x44F))
+            | ((cp >= 0x391) & (cp <= 0x3C9))
+            | ((cp >= 0x4E00) & (cp <= 0x9FFF))
+        )
+        if "sym" not in state:
+            t = np.zeros(129, dtype=bool)
+            for c in "#!$%&*+=@^~|<>":
+                t[ord(c)] = True
+            state["sym"] = t
+        sym = state["sym"][np.minimum(cp, 128)]
+
+        def seg(mask):
+            return np.bincount(doc_idx[mask], minlength=n).astype(np.int32)
+
+        return pd.DataFrame(
+            {
+                "n_alpha": seg(alpha),
+                "n_space": seg(cp == 0x20),
+                "n_symbol": seg(sym),
+            }
+        )
+
+    return counts.asNondeterministic()
+
+
 def quality_score(col: Column) -> Column:
     """[0,1] heuristic quality score: alpha-char ratio, word-shape, and
-    punctuation balance, as one codegen'd expression."""
+    punctuation balance. Counts come from one vectorized Arrow pass
+    (r7 — see :func:`_quality_counts_udf`); the ratio arithmetic and the
+    HALF_UP round stay JVM expressions, so every emitted double equals
+    the previous all-regexp form's."""
+    c = _quality_counts_udf()(col)
     n = F.greatest(F.length(col), F.lit(1)).cast("double")
-    alpha_ratio = F.regexp_count(col, F.lit("[A-Za-zÀ-ÿА-яΑ-ω一-鿿]")) / n
-    space_ratio = F.regexp_count(col, F.lit("[ ]")) / n
-    symbol_ratio = F.regexp_count(col, F.lit("[#!$%&*+=@^~|<>]")) / n
+    alpha_ratio = c["n_alpha"] / n
+    space_ratio = c["n_space"] / n
+    symbol_ratio = c["n_symbol"] / n
     score = alpha_ratio * 0.6 + F.least(space_ratio * 4, F.lit(1.0)) * 0.3 + (1 - F.least(symbol_ratio * 10, F.lit(1.0))) * 0.1
-    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+    out = F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+    # NULL text: the regexp_count form's null ratios fall through the
+    # null-IGNORING least/greatest pair to exactly 1.0 — replicated
+    return F.when(col.isNotNull(), out).otherwise(F.lit(1.0))
 
 
 def script_mixing(col: Column) -> dict[str, Column]:

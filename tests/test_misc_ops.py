@@ -1722,3 +1722,41 @@ def test_batch_script_counts_match_regex():
     assert list(got["n_cyr"]) == list(s.str.count(CYR_PY))
     assert list(got["n_greek"]) == list(s.str.count(GREEK_PY))
     assert list(got["n_symbol"]) == list(s.str.count(SYMBOL_CLASS))
+
+
+def test_quality_score_udf_matches_regex(spark):
+    """r7: the vectorized quality_score must equal the all-regexp form
+    value for value, including range edges (x/÷ inside À-ÿ, U+03A2
+    inside Α-ω, CJK bounds), NULL text, and empty text."""
+    from pyspark.sql import Column
+
+    from language_identification_spark.functions.analysis import quality_score
+
+    def regex_form(col: Column) -> Column:
+        n = F.greatest(F.length(col), F.lit(1)).cast("double")
+        alpha_ratio = F.regexp_count(col, F.lit("[A-Za-zÀ-ÿА-яΑ-ω一-鿿]")) / n
+        space_ratio = F.regexp_count(col, F.lit("[ ]")) / n
+        symbol_ratio = F.regexp_count(col, F.lit("[#!$%&*+=@^~|<>]")) / n
+        score = (
+            alpha_ratio * 0.6
+            + F.least(space_ratio * 4, F.lit(1.0)) * 0.3
+            + (1 - F.least(symbol_ratio * 10, F.lit(1.0))) * 0.1
+        )
+        return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+    texts = [
+        None, "", "plain text here", "×÷ are in the À-ÿ range", "΢ω greek edge",
+        "一鿿ꀀ cjk bounds", "#!$%&*+=@^~|<> symbols", "   spaces   ",
+        "Ѐяѐ cyr edge", "mixed 的一 Ѐ text ~|", "\t\nweird ws\x0b",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["q"] for r in df.select("i", quality_score(F.col("t")).alias("q")).collect()}
+    want = {r["i"]: r["q"] for r in df.select("i", regex_form(F.col("t")).alias("q")).collect()}
+    assert got == want, (got, want)
+    # one Arrow node despite three struct-field reads
+    import re as _re2
+
+    from language_identification_spark.plans.asserts import explain_str
+
+    plan = explain_str(df.select(quality_score(F.col("t"))))
+    assert len(_re2.findall(r"^\(\d+\) ArrowEvalPython", plan, _re2.M)) == 1, plan

@@ -409,3 +409,10 @@ def test_bpe_train_merges_vs_python_reference(spark):
         tuple(r["syms"]): r["freq"] for r in final.collect()
     }
     assert got_final == vocab
+
+    # r7: the driver-side loop (default: the type table is bounded) and
+    # the distributed fallback (forced via collect_threshold=0) must
+    # produce the identical merge sequence and final symbol table
+    merges_d, final_d = bpe_train_merges(df, n_merges=12, collect_threshold=0)
+    assert merges_d == want
+    assert {tuple(r["syms"]): r["freq"] for r in final_d.collect()} == vocab
