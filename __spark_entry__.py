@@ -2127,8 +2127,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Registry order = driver correctness window (first 50 rows).
         # Rotated each round so every query gets a driver-checked row
-        # within two rounds: r6 leads with the 38 names absent from
-        # CORRECTNESS_r05.json, then the r5-green names re-queue.
+        # within two rounds: r7 leads with the 42 names absent from
+        # CORRECTNESS_r06.json, then the r6-green names re-queue.
+        "classification_report": report,
+        "confusion_matrix": confusion,
+        "top_ngrams_per_lang": top_ngrams_per_lang,
+        "vocab_topk": vocab_topk,
+        "distinct_langs": distinct_langs,
+        "token_counts": token_counts,
+        "fingerprints": fingerprints,
+        "quality_scores": quality_scores,
+        "gopher_scores": gopher_scores,
+        "gopher_repetition": gopher_repetition,
+        "cavnar_profile": cavnar_profile,
+        "cavnar_predict": cavnar_predict,
+        "dunning_predict": dunning_predict,
+        "markov_predict": markov_predict,
+        "char_freq_predict": char_freq_predict,
+        "tfidf_top_terms": tfidf_top_terms,
+        "dunning_top_features": dunning_top_features,
+        "feature_log_odds_topk": feature_log_odds_topk,
+        "feature_importances_topk": feature_importances_topk,
+        "salted_lang_stats": salted_lang_stats,
+        "user_sessions": user_sessions,
+        "boilerplate_removal": boilerplate_removal,
+        "url_normalize": url_normalize,
+        "host_stats": host_stats,
+        "events_distinct_exact": events_distinct_exact,
+        "events_distinct_approx": events_distinct_approx,
+        "ngram_contamination": ngram_contamination,
+        "unicode_normalize": unicode_normalize,
+        "html_extract": html_extract,
+        "heavy_hitters_topk": heavy_hitters_topk,
+        "pii_scrub": pii_scrub,
+        "quality_percentile_filter": quality_percentile_filter,
+        "drop_reasons": drop_reasons,
+        "compression_signal": compression_signal,
+        "stratified_sample": stratified_sample,
+        "mojibake_detect": mojibake_detect,
+        "mojibake_fix": mojibake_fix,
+        "script_mixing_profile": script_mixing_profile,
+        "vocab_coverage_curve": vocab_coverage_curve,
+        "doc_sentences": doc_sentences,
+        "winnowing": winnowing,
+        "bpe_merge_pairs": bpe_merge_pairs,
         "cjk_quality_rules": cjk_quality_rules,
         "sequence_packing_bpe": sequence_packing_bpe,
         "doc_chunks_bpe": doc_chunks_bpe,
@@ -2179,48 +2221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_predict": ngram_lm_predict,
         "dataset_stats": dataset_stats,
         "lang_distribution": lang_distribution,
-        "classification_report": report,
-        "confusion_matrix": confusion,
-        "top_ngrams_per_lang": top_ngrams_per_lang,
-        "vocab_topk": vocab_topk,
-        "distinct_langs": distinct_langs,
-        "token_counts": token_counts,
-        "fingerprints": fingerprints,
-        "quality_scores": quality_scores,
-        "gopher_scores": gopher_scores,
-        "gopher_repetition": gopher_repetition,
-        "cavnar_profile": cavnar_profile,
-        "cavnar_predict": cavnar_predict,
-        "dunning_predict": dunning_predict,
-        "markov_predict": markov_predict,
-        "char_freq_predict": char_freq_predict,
-        "tfidf_top_terms": tfidf_top_terms,
-        "dunning_top_features": dunning_top_features,
-        "feature_log_odds_topk": feature_log_odds_topk,
-        "feature_importances_topk": feature_importances_topk,
-        "salted_lang_stats": salted_lang_stats,
-        "user_sessions": user_sessions,
-        "boilerplate_removal": boilerplate_removal,
-        "url_normalize": url_normalize,
-        "host_stats": host_stats,
-        "events_distinct_exact": events_distinct_exact,
-        "events_distinct_approx": events_distinct_approx,
-        "ngram_contamination": ngram_contamination,
-        "unicode_normalize": unicode_normalize,
-        "html_extract": html_extract,
-        "heavy_hitters_topk": heavy_hitters_topk,
-        "pii_scrub": pii_scrub,
-        "quality_percentile_filter": quality_percentile_filter,
-        "drop_reasons": drop_reasons,
-        "compression_signal": compression_signal,
-        "stratified_sample": stratified_sample,
-        "mojibake_detect": mojibake_detect,
-        "mojibake_fix": mojibake_fix,
-        "script_mixing_profile": script_mixing_profile,
-        "vocab_coverage_curve": vocab_coverage_curve,
-        "doc_sentences": doc_sentences,
-        "winnowing": winnowing,
-        "bpe_merge_pairs": bpe_merge_pairs,
     }
 
 

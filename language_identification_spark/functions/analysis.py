@@ -51,14 +51,63 @@ def token_count_bpe(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_REGEX))
 
 
-def doc_fingerprint(col: Column) -> Column:
-    """Deterministic rolling-hash fingerprint: fold (acc*31 + codepoint)
-    mod 1e9+7 over the characters. Same value in DuckDB via list_reduce."""
+def doc_fingerprint_sql(col: Column) -> Column:
+    """All-SQL rolling-hash fold — the oracle-twin reference form (the
+    DuckDB twin is the same list_reduce); interpreted per char, so the
+    serving path is :func:`doc_fingerprint` (value-identical, pinned by
+    tests/test_misc_ops.py::test_doc_fingerprint_udf_matches_sql)."""
     return F.aggregate(
         F.transform(F.split(col, ""), lambda c: F.ascii(c)),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
     )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic rolling-hash fingerprint: fold (acc*31 + codepoint)
+    mod 1e9+7 over the characters. Same value in DuckDB via list_reduce.
+
+    r7: computed in ``max_doc_len`` masked numpy rounds per Arrow batch —
+    the SQL ``aggregate`` HOF evaluated an interpreted lambda per
+    character. Exact: acc < 1e9+7 ⇒ acc*31 + cp < 2^63. NULL text stays
+    NULL (the SQL form's propagation). Non-deterministic mark per guide
+    §4.4 (pure function; prevents filter-pushdown double evaluation)."""
+    @F.pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        isnull = np.fromiter(
+            (not isinstance(t, str) for t in texts), dtype=bool, count=n
+        )
+        lens = np.fromiter(
+            (len(t) if isinstance(t, str) else 0 for t in texts),
+            dtype=np.int64, count=n,
+        )
+        out = np.zeros(n, dtype=np.int64)
+        if int(lens.sum()) > 0:
+            big = "".join(t if isinstance(t, str) else "" for t in texts)
+            cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            # length-descending order: the docs still active at char
+            # position p are a contiguous PREFIX — per-position work is
+            # two slice ops, not an O(n) boolean mask
+            order = np.argsort(-lens, kind="stable")
+            ls = lens[order]
+            ss = starts[order]
+            acc = np.zeros(n, dtype=np.int64)
+            neg = -ls
+            for p in range(int(ls[0]) if n else 0):
+                k = int(np.searchsorted(neg, -(p + 1), side="right"))
+                if k == 0:
+                    break
+                acc[:k] = (acc[:k] * 31 + cp[ss[:k] + p]) % FINGERPRINT_MOD
+            out[order] = acc
+        res = pd.Series(out)
+        res[isnull] = None
+        return res
+
+    return fp.asNondeterministic()(col)
 
 
 def script_counts(col: Column) -> dict[str, Column]:

@@ -46,14 +46,51 @@ def brute_force_topk(
     (narrow: each corpus partition sees all queries), window top-k. The
     corpus is scanned exactly once regardless of |Q|.
     """
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+    # r7: the |Q| query vectors are collected (bounded) and every corpus
+    # vector scores against all of them in one vectorized Arrow pass.
+    # Bit-exact vs the old per-row `cosine_expr` HOF fold: the numpy
+    # loop accumulates dimension-by-dimension in the SAME left-to-right
+    # order as the SQL `aggregate` (acc = acc + x_j*y_j), casts are the
+    # same float→double, and the 1e-300 denominator floor is identical —
+    # so every rounded cosine is unchanged.
+    q_rows = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    joined = emb.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine_expr(F.col("qv"), F.col(vec_col)).alias("cosine"),
+    ).collect()
+    qids = [int(r["query_id"]) for r in q_rows]
+    qmat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    nb = np.zeros(len(qids), dtype=np.float64)
+    for j in range(qmat.shape[1]):
+        nb += qmat[:, j] * qmat[:, j]
+    nb = np.sqrt(nb)
+
+    @F.pandas_udf("array<double>")
+    def cos_all(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        m = len(mat)
+        dot = np.zeros((m, len(qids)), dtype=np.float64)
+        na = np.zeros(m, dtype=np.float64)
+        for j in range(mat.shape[1]):
+            cj = mat[:, j]
+            dot += cj[:, None] * qmat[None, :, j]
+            na += cj * cj
+        na = np.sqrt(na)
+        cos = dot / np.maximum(na[:, None] * nb[None, :], 1e-300)
+        return pd.Series(list(cos))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(cos_all.asNondeterministic()(F.col(vec_col))).alias(
+                "_qpos", "cosine"
+            ),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("_qpos") + 1).alias("query_id"),
+            "neighbor_id",
+            "cosine",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -73,14 +73,21 @@ def duplicated_spans(
       (doc, gh), so plain ``count(*)`` equals the old
       ``count_distinct(id)`` without its two-Exchange distinct-aggregate
       rewrite."""
-    gh_arr = word_gram_hashes_udf(k)(F.col(text_col))
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(gh_arr).alias("s", "gh"),
+    from .dedup import _register_cache
+
+    # one UDF pass: the (id, hash-array) base feeds both the freq
+    # aggregation and the position join; it is hashes-only (~8 bytes per
+    # window), so the persist is small — registered with the active
+    # pair_cache_scope like the LSH caches
+    base = _register_cache(
+        docs.select(
+            F.col(id_col).alias("id"),
+            word_gram_hashes_udf(k)(F.col(text_col)).alias("_gh"),
+        )
     )
-    per_doc = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(gh_arr)).alias("gh"),
+    grams = base.select("id", F.posexplode("_gh").alias("s", "gh"))
+    per_doc = base.select(
+        "id", F.explode(F.array_distinct("_gh")).alias("gh")
     )
     freq = per_doc.groupBy("gh").agg(
         F.count("*").alias("n_docs"),

@@ -1760,3 +1760,18 @@ def test_quality_score_udf_matches_regex(spark):
 
     plan = explain_str(df.select(quality_score(F.col("t"))))
     assert len(_re2.findall(r"^\(\d+\) ArrowEvalPython", plan, _re2.M)) == 1, plan
+
+
+def test_doc_fingerprint_udf_matches_sql(spark):
+    """r7: the vectorized fingerprint must equal the SQL list-fold form
+    value for value, including empty, NULL, unicode, and long texts."""
+    from language_identification_spark.functions.analysis import (
+        doc_fingerprint,
+        doc_fingerprint_sql,
+    )
+
+    texts = ["", None, "hello", "的一是了我", "x" * 5000, "mixed 的 text", "a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["f"] for r in df.select("i", doc_fingerprint(F.col("t")).alias("f")).collect()}
+    want = {r["i"]: r["f"] for r in df.select("i", doc_fingerprint_sql(F.col("t")).alias("f")).collect()}
+    assert got == want, (got, want)
