@@ -1471,8 +1471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
         )
         digests = old.select(F.sha2(F.col("text"), 256).alias("digest"))
+        # run-unique path (ADVICE r6): a fixed sf-keyed dir races when two
+        # drivers (bench + correctness) run the same scale factor — one's
+        # overwrite can delete files the other's load is reading
         bloom_path = os.path.join(
-            tempfile.gettempdir(), f"refresh_bloom_{os.path.basename(sf.rstrip('/'))}"
+            tempfile.gettempdir(),
+            f"refresh_bloom_{os.path.basename(sf.rstrip('/'))}_"
+            f"{spark.sparkContext.applicationId}",
         )
         save_bloom(build_bloom(digests, "digest", m_bits=1 << 17, k=5), bloom_path)
         deduped = bloom_incremental_dedup(

@@ -364,10 +364,13 @@ def with_quality_columns(
     stopwords: tuple[str, ...] | None = None,
     repetition_mode: str = "arrow",
 ) -> DataFrame:
-    """Gopher/C4-style heuristic quality features as native Spark SQL columns
-    (no UDF): doc length, word stats, symbol ratio, repetition ratio,
-    stop-word fraction, bullet/ellipsis line ratios, duplicate-line
-    fraction.
+    """Gopher/C4-style heuristic quality features: doc length, word
+    stats, symbol ratio, repetition ratio, stop-word fraction,
+    bullet/ellipsis line ratios, duplicate-line fraction. Most columns
+    are native Spark SQL expressions; the repetition/diversity columns
+    go through the vectorized Arrow UDF under the default
+    ``repetition_mode='arrow'`` (ADVICE r6 doc fix) — ``mode='hof'`` is
+    the all-SQL form.
 
     Assumes ``text_col`` is already normalized (no leading/trailing ws).
     ``stopwords`` defaults to :data:`..pipeline.rules.DEFAULT_STOPWORDS`

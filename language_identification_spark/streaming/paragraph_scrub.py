@@ -17,8 +17,10 @@ Two boilerplate sources, two mechanisms:
 
 2. **Emergent boilerplate** (a line that becomes frequent DURING the
    stream — later fetches of the same site template): per-line-digest
-   state (``applyInPandasWithState``) counts occurrences across micro-
-   batches; once a line has been seen ``min_docs`` times, that
+   state (``applyInPandasWithState``) counts OCCURRENCES across micro-
+   batches (not distinct urls — a doc repeating its own nav line
+   ``min_docs`` times trips the threshold; r7 ADVICE pin of the
+   semantics); once a line has been seen ``min_docs`` times, that
    occurrence and every later one is scrubbed. Already-emitted early
    occurrences cannot be retracted (append mode) — the standard
    streaming tradeoff, documented here and pinned by the test.
@@ -123,9 +125,15 @@ def paragraph_scrub_stream(
     # corpus boilerplate), and the stream is read/probed ONCE per
     # micro-batch (a filter-split union shape would re-run the bitmap
     # UDF per branch).
+    # distinct: a digest table derived from a corpus with repeated
+    # boilerplate lines carries duplicate rows, and a non-unique build
+    # side would fan each matching stream line into several verdict rows
+    # (breaking the one-verdict-per-line contract and double-counting
+    # n_paras/n_dropped downstream) — r7 ADVICE fix; the batch twin
+    # already defends with distinct()/left_semi.
     verify = corpus_paragraph_digests.select(
-        F.col("digest").alias("_vh"), F.lit(True).alias("_hit")
-    )
+        F.col("digest").alias("_vh")
+    ).distinct().withColumn("_hit", F.lit(True))
     flagged = (
         lines.join(
             verify,
@@ -151,8 +159,11 @@ def paragraph_scrub_stream(
 def rebuild_docs(verdicts: DataFrame) -> DataFrame:
     """Batch-side rebuild of scrubbed documents from a materialized
     verdict table: kept lines re-joined in position order. Returns
-    (url, text, n_paras, n_dropped) — the same output contract as the
-    batch ``bloom_paragraph_scrub``."""
+    (url, text, n_paras, n_dropped). Contract note (r7 ADVICE): the
+    stream filters EMPTY lines out before verdicts, so rebuilt text is
+    the blank-line-NORMALIZED form and ``n_paras`` counts non-empty
+    lines — docs containing blank lines differ from the batch
+    ``bloom_paragraph_scrub``, which preserves layout lines."""
     return verdicts.groupBy("url").agg(
         F.array_join(
             F.transform(
