@@ -715,8 +715,14 @@ def minhash_near_duplicates(
     # verify stage (previously the verify side re-built string shingle
     # arrays from text). The base is persisted — it has 2-3 consumers —
     # and carries 8-byte hashes, so the verify joins move/broadcast half
-    # the bytes and ``array_intersect`` runs on longs.
-    base = _register_cache(_shingle_sets(df, id_col, text_col, n))
+    # the bytes and ``array_intersect`` runs on longs. In ``spill_dir``
+    # mode (corpus exceeds executor memory by premise) nothing may hold
+    # executor-memory blocks: the base stays unpersisted and each
+    # consumer recomputes the shingle pass — narrow map work, the
+    # pre-r7 cost model.
+    base = _shingle_sets(df, id_col, text_col, n)
+    if spill_dir is None:
+        base = _register_cache(base)
     sigs = _signatures_from_shingles(base, n_hashes, seed)
     cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
     # candidate_first=True: semi-join the (cached) shingle base on the
