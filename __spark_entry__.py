@@ -175,16 +175,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_lm_predict(spark, sf):
         # J1/W1: train unigram LM on the corpus, predict every doc
         # relationally (explode → broadcast join → sum(log) → argmax).
-        from language_identification_spark.functions.ngramcount import (
-            per_doc_char_ngram_counts,
-        )
-
         d = _t(spark, sf, "documents")
         model = train_ngram_lm(d, n=1)
-        # per-doc tf computed doc-locally in the Arrow pass (r7) — the
-        # explode → groupBy(doc, gram) form shuffled one row per char
-        grams = per_doc_char_ngram_counts(
-            d, 1, id_col="doc_id", text_col="text", pad=True
+        # grams stay the JVM explode → groupBy form: the r7 Arrow
+        # per-doc-tf variant (functions/ngramcount.per_doc_char_ngram_counts)
+        # removed this shuffle but MEASURED SLOWER end-to-end at sf1.0
+        # (8.7 s vs 4.3 s in the frozen bench) — 3M (doc, gram, tf) rows
+        # crossing the Python→JVM Arrow boundary cost more than the
+        # all-JVM explode+hashagg of 15M gram rows. Kept the explode.
+        grams = (
+            d.select("doc_id", F.explode(char_ngrams(F.col("text"), 1)).alias("ngram"))
+            .groupBy("doc_id", "ngram")
+            .agg(F.count("*").alias("tf"))
         )
         scored = (
             grams.join(F.broadcast(model), "ngram")
