@@ -111,7 +111,8 @@ def remove_duplicate_spans(
     # a small fraction of the corpus, so instead aggregate only the
     # flagged START positions per doc (one small shuffle), join that
     # |flagged-docs|-row table back (AQE broadcasts it), and rebuild each
-    # doc LOCALLY with an index-aware ``filter`` HOF over its word array.
+    # doc LOCALLY: keep-positions via hash-based ``array_except`` over its
+    # word array (see the ``kept`` expression below).
     # Output is pinned identical: same words survive, same single-space
     # join canonicalization, same n_words/n_words_dropped types.
     flagged = duplicated_spans(docs, k, id_col, text_col).filter(
