@@ -584,11 +584,13 @@ def incremental_near_duplicates(
     if index is None:
         index = minhash_band_index(corpus_df, id_col, text_col, n, n_hashes, bands, seed)
     # r7: the new shard's shingle sets feed both its signatures and its
-    # verify side — one Arrow pass, persisted (2 consumers). The corpus
+    # verify side — unpersisted like minhash_near_duplicates' base (the
+    # measured cache-thrash result there; the new shard is usually small
+    # but the same discipline keeps the operator scale-safe). The corpus
     # side is NOT pre-shingled here: its verify shingles are computed
     # only where needed (after the candidate semi-join in the default
     # candidate_first shape — the whole point of that A/B winner).
-    new_base = _register_cache(_shingle_sets(new_df, id_col, text_col, n))
+    new_base = _shingle_sets(new_df, id_col, text_col, n)
     new_sigs = _signatures_from_shingles(new_base, n_hashes, seed)
     new_bands = _band_table(new_sigs, bands, n_hashes)
     cand = (
@@ -623,9 +625,12 @@ def incremental_near_duplicates(
     shc = _shingle_sets(shc_src, id_col, text_col, n).select(
         F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c")
     )
+    # merge-hinted shingle sides — see minhash_near_duplicates: the
+    # document-side hash-array tables are size-underestimated and must
+    # never be a broadcast build side at corpus scale
     return (
-        cand.join(shn, "new_id")
-        .join(shc, "corpus_id")
+        cand.join(shn.hint("merge"), "new_id")
+        .join(shc.hint("merge"), "corpus_id")
         .select(
             "new_id",
             "corpus_id",
@@ -711,18 +716,16 @@ def minhash_near_duplicates(
     job, where candidate-first wins 1.10–1.17× and is the default.
     Numbers: BENCH.md A/B section (``bench.py --lsh-ab``).
     """
-    # r7: ONE shingle-set pass feeds both the signature stage and the
-    # verify stage (previously the verify side re-built string shingle
-    # arrays from text). The base is persisted — it has 2-3 consumers —
-    # and carries 8-byte hashes, so the verify joins move/broadcast half
-    # the bytes and ``array_intersect`` runs on longs. In ``spill_dir``
-    # mode (corpus exceeds executor memory by premise) nothing may hold
-    # executor-memory blocks: the base stays unpersisted and each
-    # consumer recomputes the shingle pass — narrow map work, the
-    # pre-r7 cost model.
+    # r7: the same shingle-hash pass feeds the signature stage and both
+    # verify sides (previously the verify re-built string shingle arrays
+    # from text). The base is NOT persisted — measured at 1.28M docs,
+    # the ~2 GB hash-array cache thrashed the shared local heap and the
+    # merge-join verify ran 75.7 s unpersisted vs 103.6 s DISK_ONLY /
+    # ~237 s MEMORY_AND_DISK; re-running the vectorized hash pass per
+    # consumer is cheap narrow map work (and the r6 string form paid
+    # the same recompute with a 3× costlier chain). The hash transport
+    # still halves verify bytes and runs ``array_intersect`` on longs.
     base = _shingle_sets(df, id_col, text_col, n)
-    if spill_dir is None:
-        base = _register_cache(base)
     sigs = _signatures_from_shingles(base, n_hashes, seed)
     cand = minhash_lsh_candidates(sigs, bands, n_hashes, max_bucket, spill_dir)
     # candidate_first=True: semi-join the (cached) shingle base on the
@@ -742,9 +745,19 @@ def minhash_near_duplicates(
         sh = base.join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Explicit MERGE hints on the shingle sides of both verify joins
+    # (r7): the hash-array base's pre-materialization size estimate is
+    # badly wrong (array columns get default per-row widths under the
+    # column-pruned Project above the Arrow UDF), and at 1.28M docs the
+    # planner broadcast the ~2 GB array table — a driver OOM in the
+    # bench's LSH A/B. Candidate sets are not reliably small either
+    # (the A/B corpus produces millions), so neither side may ever be
+    # a broadcast build: the verify is pinned as co-partitioned shuffle
+    # joins on 8-byte ids — the shape that survives any scale; AQE still
+    # coalesces/skew-splits the exchanges.
     out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
