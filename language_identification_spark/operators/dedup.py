@@ -930,10 +930,22 @@ def dedup_components(
         return out, _CkptBlocks(spark, _persistent_rdd_ids(spark) - before)
 
     # Truncate the (usually LSH-derived, UDF-heavy) upstream lineage once;
-    # every round re-reads edges.
+    # every round re-reads edges. Symmetrize with ONE explode over the
+    # pairs subtree, not a unionAll of two selects: union branches are
+    # separate physical subtrees, so the (unpersisted) verify-join chain
+    # upstream would execute twice before this first checkpoint —
+    # measured 7.25 s vs 6.01 s warmed on the sf1.0 components corpus.
+    # Same row multiset into the distinct, so the edge set is identical.
     edges, edge_blocks = ckpt(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels, label_blocks = ckpt(
